@@ -1,0 +1,132 @@
+"""Posting-block codec: delta + varint compression with block-max metadata.
+
+The reference delegates posting compression to shaded Lucene 7.7.2 (delta-encoded
+doc IDs + term frequencies in compressed blocks). We re-derive the same layout
+natively: fixed-size blocks of (doc_id delta, tf) pairs, varint-encoded, each
+block carrying (first_doc, last_doc, n, max_tf, max_tfnorm) so the query side
+can do block-max pruning (Ding & Suel, SIGIR'11) before decoding.
+
+All kernels are numpy-vectorized — the inner loop is over *byte position*
+(<= 10 iterations), never over values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+_LOW7 = _U64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint-encode an array of non-negative ints (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> _SEVEN
+    while tmp.any():
+        nbytes += (tmp > 0)
+        tmp = tmp >> _SEVEN
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    cur = v.copy()
+    for i in range(int(nbytes.max())):
+        sel = nbytes > i
+        byte = (cur[sel] & _LOW7).astype(np.uint8)
+        more = (nbytes[sel] > i + 1).astype(np.uint8)
+        out[starts[sel] + i] = byte | (more << 7)
+        cur[sel] = cur[sel] >> _SEVEN
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a LEB128 varint byte stream back to uint64 (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    n = len(ends)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    for i in range(int(lengths.max())):
+        sel = lengths > i
+        vals[sel] |= (b[starts[sel] + i] & 0x7F).astype(np.uint64) << _U64(7 * i)
+    return vals
+
+
+def encode_doc_deltas(doc_ids: np.ndarray) -> bytes:
+    """Delta-encode a strictly-ascending doc-id array (first delta is 0,
+    base doc id lives in block metadata as ``first_doc``)."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    deltas = np.diff(d, prepend=d[0] if len(d) else 0)
+    return varint_encode(deltas)
+
+
+def decode_doc_deltas(buf: bytes, first_doc: int) -> np.ndarray:
+    deltas = varint_decode(buf).astype(np.int64)
+    if len(deltas) == 0:
+        return deltas
+    deltas[0] = first_doc
+    return np.cumsum(deltas)
+
+
+def bm25_tfnorm(tf: np.ndarray, doc_len: np.ndarray, avgdl: float,
+                k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+    """Length-normalized term-frequency factor of Lucene BM25Similarity:
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).  idf multiplies at query time."""
+    tf = tf.astype(np.float64)
+    dl = doc_len.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
+                  avgdl: float, block_size: int = 128,
+                  k1: float = 1.2, b: float = 0.75) -> list[dict]:
+    """Split one term's sorted postings into fixed-size compressed blocks.
+
+    Returns a list of dict rows:
+      first_doc, last_doc, n, doc_bytes, tf_bytes, len_bytes, max_tf, max_tfnorm
+    Block-max soundness: max_tfnorm >= tfnorm of every posting in the block,
+    so idf*max_tfnorm is an upper bound on any BM25 contribution in the block.
+
+    Doc lengths are stored per posting (impact-style) so query scoring is
+    self-contained — no norms-table join at query time (Lucene keeps norms in
+    a separate per-doc file; inlining costs ~1 byte/posting and removes a
+    shuffle from the query path).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    out: list[dict] = []
+    for s in range(0, len(doc_ids), block_size):
+        e = min(s + block_size, len(doc_ids))
+        d, t, dl = doc_ids[s:e], tfs[s:e], doc_lens[s:e]
+        tfnorm = bm25_tfnorm(t, dl, avgdl, k1, b)
+        out.append({
+            "first_doc": int(d[0]),
+            "last_doc": int(d[-1]),
+            "n": int(e - s),
+            "doc_bytes": encode_doc_deltas(d),
+            "tf_bytes": varint_encode(t),
+            "len_bytes": varint_encode(dl),
+            "max_tf": int(t.max()),
+            "max_tfnorm": float(tfnorm.max()),
+        })
+    return out
+
+
+def decode_block(doc_bytes: bytes, tf_bytes: bytes, len_bytes: bytes,
+                 first_doc: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of encode_blocks for one block → (doc_ids, tfs, doc_lens)."""
+    docs = decode_doc_deltas(doc_bytes, first_doc)
+    tfs = varint_decode(tf_bytes).astype(np.int64)
+    lens = varint_decode(len_bytes).astype(np.int64)
+    return docs, tfs, lens

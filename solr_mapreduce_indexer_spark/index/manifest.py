@@ -1,0 +1,70 @@
+"""Segment manifests: checkpoint/resume + per-partition lineage & metrics.
+
+Replaces the reference's MR-level fault tolerance (rerun the whole job,
+MapReduceIndexerToolArgumentParser.java:100-102) and its commit-data stamping
+(TreeMergeOutputFormat.java:187-235) with segment-granularity checkpoints:
+each pipeline phase writes its outputs write-once, then atomically commits a
+JSON checkpoint (tmp + rename). Resume = skip phases whose checkpoint exists
+and is complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict
+from typing import Any
+
+
+def _ckpt_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "checkpoints")
+
+
+def checkpoint_path(index_dir: str, phase: str) -> str:
+    return os.path.join(_ckpt_dir(index_dir), f"{phase}.json")
+
+
+def write_checkpoint(index_dir: str, phase: str, payload: dict[str, Any]) -> None:
+    """Atomic write-then-rename commit of one phase checkpoint."""
+    d = _ckpt_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    payload = dict(payload, phase=phase, complete=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=f".{phase}.", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, checkpoint_path(index_dir, phase))
+
+
+def read_checkpoint(index_dir: str, phase: str) -> dict[str, Any] | None:
+    p = checkpoint_path(index_dir, phase)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        payload = json.load(f)
+    return payload if payload.get("complete") else None
+
+
+def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
+                   levels: list[dict[str, Any]], input_path: str) -> dict[str, Any]:
+    """Final manifest = the index's commit point (analog of the Lucene
+    segments_N file + the reference's commitTimeMSec commit data)."""
+    manifest = {
+        "format_version": 1,
+        "input": input_path,
+        "config": asdict(cfg) if not isinstance(cfg, dict) else cfg,
+        "stats": stats,
+        "levels": levels,
+        "final_level": levels[-1]["level"] if levels else 0,
+        "shards": (cfg["shards"] if isinstance(cfg, dict) else cfg.shards),
+    }
+    fd, tmp = tempfile.mkstemp(dir=index_dir, prefix=".manifest.", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    return manifest
+
+
+def read_manifest(index_dir: str) -> dict[str, Any]:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)

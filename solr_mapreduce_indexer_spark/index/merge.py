@@ -1,0 +1,112 @@
+"""mtree merge: fanout-F tree reduction of micro-shard segments.
+
+Spark restatement of the reference's mapper-only merge jobs
+(IndexMergeTool.java:104-171, iteration count `:96-101`): each iteration maps
+micro-shard F-groups to one merged shard. Because our doc ids embed the
+micro-shard in the high bits and micro-shards of a root shard are contiguous
+(micro = root*(R/S) + offset, SolrCloudPartitioner.java:133-136), merging is a
+*metadata-level concat* exactly like Lucene IndexWriter.addIndexes
+(TreeMergeOutputFormat.java:141-158): posting blocks from sibling micro-shards
+have disjoint, ordered doc-id ranges, so the merged posting list is just the
+union of block rows — no decode, no rewrite, no shuffle beyond the re-tag.
+
+Physical compaction (the forceMerge(maxSegments) analog,
+TreeMergeOutputFormat.java:170-183) optionally re-encodes each (shard, term)'s
+blocks into full-size blocks at the final level.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from . import manifest as mf
+from .codec import decode_block, encode_blocks
+
+
+def level_path(index_dir: str, level: int) -> str:
+    return os.path.join(index_dir, "segments", f"level_{level}")
+
+
+def merge_level(spark: SparkSession, index_dir: str, level: int,
+                fanout: int, n_shards_in: int) -> tuple[str, int]:
+    """One tree-merge iteration: level → level+1, shard_id //= fanout."""
+    src = spark.read.parquet(level_path(index_dir, level))
+    n_out = -(-n_shards_in // fanout)
+    dst_path = level_path(index_dir, level + 1)
+    (src.withColumn("shard_id",
+                    (F.col("shard_id") / fanout).cast("int"))
+        .repartition(n_out, "shard_id")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(dst_path))
+    return dst_path, n_out
+
+
+def _compact_mapper(cfg: IndexConfig, avgdl: float):
+    """applyInPandas kernel: all blocks of one (shard, term) → re-encoded
+    full-size blocks (decode + concat + encode). Exactness: tf/doc/len values
+    round-trip the codec; max_tfnorm recomputed from the same avgdl."""
+    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("first_doc")
+        docs, tfs, lens = [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t, ln = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
+                                    r.first_doc)
+            docs.append(d); tfs.append(t); lens.append(ln)
+        d = np.concatenate(docs); t = np.concatenate(tfs); ln = np.concatenate(lens)
+        shard = int(pdf["shard_id"].iloc[0]); term = pdf["term"].iloc[0]
+        rows = [(shard, term, b["first_doc"], b["last_doc"], b["n"],
+                 b["max_tf"], b["max_tfnorm"], b["doc_bytes"], b["tf_bytes"],
+                 b["len_bytes"])
+                for b in encode_blocks(d, t, ln, avgdl, cfg.block_size,
+                                       cfg.k1, cfg.b)]
+        return pd.DataFrame(rows, columns=list(pdf.columns))
+
+    return compact
+
+
+def compact_level(spark: SparkSession, index_dir: str, level: int,
+                  cfg: IndexConfig, avgdl: float, n_shards: int) -> str:
+    """forceMerge analog: rewrite a level so every (shard, term) posting list
+    uses full blocks (fragmentation from chunked encoding / tree merge gone)."""
+    from .build import POSTINGS_SCHEMA
+    src = spark.read.parquet(level_path(index_dir, level))
+    dst = level_path(index_dir, level) + "_compact"
+    (src.groupBy("shard_id", "term")
+        .applyInPandas(_compact_mapper(cfg, avgdl), schema=POSTINGS_SCHEMA)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(dst))
+    return dst
+
+
+def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
+                    partitions: int, fanout: int, n_iters: int,
+                    resume: bool = True) -> list[dict]:
+    """Run the full merge tree; returns checkpoint payloads per level.
+    Skip-if-done semantics mirror IndexMergeTool.mergeIfNeeded
+    (IndexMergeTool.java:68-78)."""
+    from .build import segment_metrics
+
+    levels: list[dict] = []
+    cur = partitions
+    for it in range(1, n_iters + 1):
+        phase = f"level_{it}"
+        ck = mf.read_checkpoint(index_dir, phase) if resume else None
+        if ck is None:
+            path, cur = merge_level(spark, index_dir, it - 1, fanout, cur)
+            mf.write_checkpoint(index_dir, phase, {
+                "path": path, "n_shards": cur, "fanout": fanout,
+                "segments": segment_metrics(spark, path),
+                "lineage": {"from_level": it - 1, "fanout": fanout},
+            })
+            ck = mf.read_checkpoint(index_dir, phase)
+        else:
+            cur = ck["n_shards"]
+        levels.append(ck | {"level": it})
+    return levels
