@@ -1,0 +1,226 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join →
+verified Jaccard), SimHash (hamming-banded), n-gram Jaccard, and
+embedding-cosine near-dup. Shapes chosen for 100 TB: every candidate
+generation is a bucket equi-join (shuffle on short hash keys, never O(n²));
+verification only touches bucket-collision pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.analysis import tokenize_col
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                cfg: IndexConfig | None = None) -> DataFrame:
+    """Exact duplicates on the normalized token stream: one row per distinct
+    content with the canonical (min id) survivor and the duplicate count."""
+    cfg = cfg or IndexConfig()
+    norm = F.array_join(tokenize_col(text_col, cfg), " ")
+    return (df.select(F.col(id_col), F.md5(norm).alias("content_md5"))
+              .groupBy("content_md5")
+              .agg(F.min(id_col).cast("long").alias("keep_id"),
+                   F.count(F.lit(1)).cast("long").alias("n_copies")))
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", shingle_w: int = 3,
+                       num_perm: int = 64, seed: int = 42,
+                       cfg: IndexConfig | None = None) -> DataFrame:
+    """MinHash signature per doc over w-token shingles.
+
+    Shingle hashing is JVM-side xxhash64; the permutation mins are one
+    vectorized pandas UDF over the shingle-hash array ((a*h+b) mod p, min per
+    permutation) — O(shingles × perms) numpy matrix op per batch."""
+    cfg = cfg or IndexConfig()
+    a, b = _minhash_params(num_perm, seed)
+    toks = tokenize_col(text_col, cfg)
+    n = F.size(toks)
+    shingles = F.when(n >= shingle_w, F.transform(
+        F.sequence(F.lit(1), n - shingle_w + 1),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, shingle_w), " "))
+    )).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+
+    @F.pandas_udf("array<long>")
+    def minhash(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                hv = (np.asarray(h, dtype=np.int64).astype(np.uint64)
+                      % np.uint64(MERSENNE)).astype(np.int64)
+                if len(hv) == 0:
+                    out.append(np.zeros(num_perm, dtype=np.int64))
+                    continue
+                # (num_perm, n_shingles) via broadcasting, mod-min per row
+                m = ((a[:, None].astype(np.uint64) * hv[None, :].astype(np.uint64)
+                      + b[:, None].astype(np.uint64)) % np.uint64(MERSENNE))
+                out.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), minhash(shingles).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_w: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.5, seed: int = 42,
+                      cfg: IndexConfig | None = None) -> DataFrame:
+    """Near-dup pairs: band the signatures, bucket-join, verify estimated
+    Jaccard (fraction of agreeing permutations) ≥ threshold."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, shingle_w, num_perm,
+                              seed, cfg)
+    banded = sigs.select(
+        F.col(id_col), "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.xxhash64(F.array_join(
+                F.transform(F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string")), ",")))).alias("band", "bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                         "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                          "band", "bucket")
+    cand = (left.join(right, ["band", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "sig_a", "sig_b")
+                .dropDuplicates(["id_a", "id_b"]))
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                          lambda v: v)) / F.lit(num_perm)
+    return (cand.select("id_a", "id_b", est.alias("est_jaccard"))
+                .where(F.col("est_jaccard") >= jaccard_threshold))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64, cfg: IndexConfig | None = None) -> DataFrame:
+    """64-bit SimHash over tf-weighted token hashes (vectorized kernel)."""
+    cfg = cfg or IndexConfig()
+    toks = tokenize_col(text_col, cfg)
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    @F.pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for i, h in enumerate(hashes):
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if len(hv) == 0:
+                continue
+            bits_mat = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+            v = (2 * bits_mat - 1).sum(axis=0)
+            sig = ((v > 0).astype(np.uint64)
+                   << np.arange(bits, dtype=np.uint64)).sum(dtype=np.uint64)
+            out[i] = sig
+        return pd.Series(out.view(np.int64))
+
+    return df.select(F.col(id_col), sim(tok_hashes).alias("simhash64"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       cfg: IndexConfig | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: 4 bands of 16 bits (pigeonhole: hamming ≤ 3
+    ⇒ at least one band identical), bucket join, verify exact hamming."""
+    sh = simhash(df, text_col, id_col, cfg=cfg)
+    bands = 4
+    banded = sh.select(
+        F.col(id_col), "simhash64",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash64", bi * 16).bitwiseAND(F.lit(0xFFFF))
+            for bi in range(bands)])).alias("band", "bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash64").alias("h_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash64").alias("h_b"), "band", "bucket")
+    cand = (left.join(right, ["band", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+                .where(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        cfg: IndexConfig | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs. Candidate generation by shared
+    shingle (inverted shingle join — only pairs sharing ≥1 shingle are
+    scored), then |A∩B| / (|A|+|B|-|A∩B|) computed relationally. This is the
+    exact counterpart the MinHash path approximates."""
+    cfg = cfg or IndexConfig()
+    toks = tokenize_col(text_col, cfg)
+    nn = F.size(toks)
+    shingles = F.array_distinct(
+        F.when(nn >= n, F.transform(
+            F.sequence(F.lit(1), nn - n + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " "))))
+         .otherwise(F.array(F.xxhash64(F.array_join(toks, " ")))))
+    sh = df.select(F.col(id_col), shingles.alias("sh"),
+                   F.size(shingles).alias("card"))
+    ex = sh.select(F.col(id_col), "card", F.explode("sh").alias("g"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"), "g")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"), "g")
+    inter = (a.join(b, "g").where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b", "card_a", "card_b")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    jac = (F.col("inter") /
+           (F.col("card_a") + F.col("card_b") - F.col("inter")))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+
+
+def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.9,
+                         n_planes: int = 16, seed: int = 42,
+                         dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Scale path: random-hyperplane LSH
+    bucket (16-bit signature) → bucket join → exact cosine verify. Only
+    bucket-colliding pairs are scored (recall is probabilistic; raise
+    n_planes/bands for higher recall)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf("int")
+    def lsh_sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes.T) > 0
+        sig = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(n_planes):
+            sig |= bits[:, i].astype(np.int64) << i
+        return pd.Series(sig.astype(np.int32))
+
+    sigs = df.select(F.col(id_col), F.col(vec_col), lsh_sig(F.col(vec_col)).alias("bucket"))
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+
+    @F.pandas_udf("double")
+    def cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        ma, mb = np.stack(va.to_numpy()), np.stack(vb.to_numpy())
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return (cand.select("id_a", "id_b", cosine("v_a", "v_b").alias("cosine"))
+                .where(F.col("cosine") >= threshold))

@@ -1,0 +1,87 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k entirely with built-in higher-order
+functions (zip_with + aggregate — JVM-side, no Python in the hot path).
+Scale path: IVF-style coarse quantization — assign every vector to its
+nearest of K centroids (one shuffle by centroid id), probe only the
+closest `nprobe` centroid partitions at query time, exact re-rank inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact brute-force cosine top-k: one scan, map-side partial top-k via
+    Catalyst TakeOrderedAndProject (orderBy+limit), no Python."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.linalg.norm(query_vec))
+    cos = (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)))
+    return (df.select(F.col(id_col), cos.alias("cosine"))
+              .orderBy(F.desc("cosine"), F.asc(id_col))
+              .limit(k))
+
+
+def kmeans_centroids(df: DataFrame, vec_col: str = "embedding",
+                     n_centroids: int = 16, iters: int = 5,
+                     seed: int = 42, sample_cap: int = 100_000) -> np.ndarray:
+    """Driver-side k-means on a bounded sample (Lloyd's, numpy). The sample
+    cap keeps the driver memory O(sample), independent of table size."""
+    frac_df = df.select(vec_col)
+    n = frac_df.count()
+    if n > sample_cap:
+        frac_df = frac_df.sample(fraction=sample_cap / n, seed=seed)
+    m = np.stack(frac_df.toPandas()[vec_col].to_numpy())
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            sel = m[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its nearest centroid (vectorized kernel); at
+    scale, write this out partitioned by `centroid` so probes prune files."""
+    cents = centroids
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn("centroid", assign(F.col(vec_col)))
+
+
+def ivf_topk(assigned: DataFrame, centroids: np.ndarray,
+             query_vec: list[float], k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the nprobe nearest centroids only, exact cosine re-rank inside.
+    With `assigned` written partitionBy('centroid'), the probe filter becomes
+    partition pruning — the 100 TB path reads nprobe/K of the data."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in d.argsort()[:nprobe]]
+    return cosine_topk(assigned.where(F.col("centroid").isin(probes)),
+                       query_vec, k, vec_col, id_col)
