@@ -1,0 +1,207 @@
+"""Command-line tools — the spark-submit surface of the engine.
+
+Parity with the reference's three executable tools:
+
+  build    — MapReduceIndexerTool / IndexTool (full pipeline: dedup → route →
+             tokenize → posting segments → mtree merge → manifest commit),
+             reference MapReduceIndexerTool.java:36-42, IndexTool.java:76-143.
+  merge    — standalone IndexMergeTool (resume/extend the merge tree of an
+             existing index dir), reference IndexMergeTool.java:48-177.
+  compact  — forceMerge(maxSegments) analog: rewrite the final level so every
+             (shard, term) posting list uses full-size blocks,
+             reference TreeMergeOutputFormat.java:170-183.
+  query    — top-k BM25 over a built index (the query semantics the
+             reference's output serves from Solr).
+  validate — read-back index validation (the reference re-opens every index
+             after close and fails the task if it is corrupt,
+             SolrRecordWriter.java:301-317, TreeMergeOutputFormat.java:205-228).
+
+Run locally:
+    python -m solr_mapreduce_indexer_spark build --input tr.parquet \
+        --output-dir /tmp/idx --shards 4 --reducers 16
+
+Run on a cluster (north rule: spark-submit --py-files):
+    python -m solr_mapreduce_indexer_spark package --out engine.zip
+    spark-submit --py-files engine.zip -m solr_mapreduce_indexer_spark ...
+    # or: spark-submit --py-files engine.zip cli_build.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import IndexConfig
+
+
+def _add_spark_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None,
+                   help="Spark master (default: local[$SPARK_GRAFT_CPUS]); "
+                        "ignored under spark-submit, which sets the master")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def _spark(args, app: str):
+    from .session import get_spark
+    return get_spark(app=app, master=args.master,
+                     shuffle_partitions=args.shuffle_partitions)
+
+
+def _cfg_from(args) -> IndexConfig:
+    return IndexConfig(shards=args.shards, reducers=args.reducers,
+                       fanout=args.fanout, max_segments=args.max_segments,
+                       conflict_resolver=args.conflict_resolver,
+                       order_by_field=args.order_by_field)
+
+
+def cmd_build(args) -> int:
+    from .index.build import build_index
+    from .sources.transcripts import read_transcripts
+
+    spark = _spark(args, "smis-build")
+    df = read_transcripts(spark, args.input)
+    if args.dry_run:
+        # reference --dry-run: run the ETL in-process and print documents
+        # instead of indexing (MorphlineEnabledIndexerTool.java:186-200).
+        from .index.build import prepare_docs
+        cfg = _cfg_from(args)
+        partitions, _f, _n = cfg.plan_build_partitions()
+        prepare_docs(df, cfg, partitions).show(args.dry_run_rows, truncate=80)
+        return 0
+    manifest = build_index(spark, df, _cfg_from(args), args.output_dir,
+                           input_path=args.input, resume=not args.no_resume)
+    print(json.dumps({"index_dir": args.output_dir,
+                      "stats": manifest["stats"],
+                      "final_level": manifest["final_level"],
+                      "shards": manifest["shards"]}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .index import manifest as mf
+    from .index.merge import merge_to_target
+
+    spark = _spark(args, "smis-merge")
+    m = mf.read_manifest(args.index_dir)
+    cfg = IndexConfig(**{k: (tuple(v) if k == "stopwords" else v)
+                         for k, v in m["config"].items()})
+    partitions, fanout, n_iters = cfg.plan_build_partitions()
+    if n_iters == 0:
+        print(json.dumps({"skipped": True, "reason": "R <= S, nothing to merge"}))
+        return 0
+    levels = [mf.read_checkpoint(args.index_dir, "level_0") | {"level": 0}]
+    levels += merge_to_target(spark, args.index_dir, cfg, partitions, fanout,
+                              n_iters, resume=True)
+    mf.write_manifest(args.index_dir, cfg, m["stats"], levels, m["input"])
+    print(json.dumps({"index_dir": args.index_dir,
+                      "levels": [lv["level"] for lv in levels],
+                      "final_shards": levels[-1]["n_shards"]}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .index import manifest as mf
+    from .index.merge import compact_final
+
+    spark = _spark(args, "smis-compact")
+    m = compact_final(spark, args.index_dir)
+    print(json.dumps({"index_dir": args.index_dir,
+                      "final_path": m["levels"][-1]["path"]}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from .query.bm25 import bm25_topk, load_index
+
+    spark = _spark(args, "smis-query")
+    h = load_index(args.index_dir)
+    rows = bm25_topk(spark, h, args.terms, k=args.k, mode=args.mode).collect()
+    for r in rows:
+        print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
+                          "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+                          "score": round(r["score"], 6)}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .index.validate import validate_index
+
+    spark = _spark(args, "smis-validate")
+    report = validate_index(spark, args.index_dir)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
+def cmd_package(args) -> int:
+    import shutil
+
+    from .session import _package_zip
+    shutil.copyfile(_package_zip(), args.out)
+    print(json.dumps({"py_files": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="solr_mapreduce_indexer_spark",
+        description="PySpark-native inverted-index build + BM25 query engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build pipeline")
+    b.add_argument("--input", required=True,
+                   help="transcripts table: parquet path or iceberg:<table>")
+    b.add_argument("--output-dir", required=True)
+    b.add_argument("--shards", type=int, default=2)
+    b.add_argument("--reducers", type=int, default=-2,
+                   help="micro-shards R (-2: R=S, no merge tree)")
+    b.add_argument("--fanout", type=int, default=2**31 - 1)
+    b.add_argument("--max-segments", type=int, default=1)
+    b.add_argument("--conflict-resolver", default="retain_most_recent",
+                   choices=["retain_most_recent", "sort_updates", "reject",
+                            "no_change"])
+    b.add_argument("--order-by-field", default="ts")
+    b.add_argument("--no-resume", action="store_true",
+                   help="ignore existing checkpoints; rebuild from scratch")
+    b.add_argument("--dry-run", action="store_true")
+    b.add_argument("--dry-run-rows", type=int, default=20)
+    _add_spark_args(b)
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge", help="resume/extend the mtree merge of an index")
+    m.add_argument("--index-dir", required=True)
+    _add_spark_args(m)
+    m.set_defaults(fn=cmd_merge)
+
+    c = sub.add_parser("compact", help="forceMerge analog: defragment blocks")
+    c.add_argument("--index-dir", required=True)
+    _add_spark_args(c)
+    c.set_defaults(fn=cmd_compact)
+
+    q = sub.add_parser("query", help="top-k BM25 over a built index")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--terms", nargs="+", required=True)
+    q.add_argument("--mode", default="AND", choices=["AND", "OR"])
+    q.add_argument("-k", type=int, default=10)
+    _add_spark_args(q)
+    q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("validate", help="read-back index integrity check")
+    v.add_argument("--index-dir", required=True)
+    _add_spark_args(v)
+    v.set_defaults(fn=cmd_validate)
+
+    z = sub.add_parser("package", help="emit the --py-files zip for spark-submit")
+    z.add_argument("--out", default="solr_mapreduce_indexer_spark.zip")
+    z.set_defaults(fn=cmd_package)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

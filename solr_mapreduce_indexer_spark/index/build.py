@@ -167,12 +167,22 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     level0_path = os.path.join(index_dir, "segments", "level_0")
 
     docs = None
+    tf_cached = None
 
     def get_docs() -> DataFrame:
         nonlocal docs
         if docs is None:
             docs = prepare_docs(df, cfg, partitions).persist()
         return docs
+
+    def get_tf() -> DataFrame:
+        # One explode + partial agg feeds BOTH term_stats and level-0
+        # postings; at 10^12 turns re-deriving it would double the most
+        # expensive shuffle in the pipeline.
+        nonlocal tf_cached
+        if tf_cached is None:
+            tf_cached = term_doc_tf(get_docs()).persist()
+        return tf_cached
 
     # --- phase: docmap + corpus stats ---------------------------------------
     ck = mf.read_checkpoint(index_dir, "docmap") if resume else None
@@ -195,8 +205,7 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
 
     # --- phase: term stats (global df/cf for BM25 idf) ----------------------
     if not (resume and mf.read_checkpoint(index_dir, "term_stats")):
-        tf = term_doc_tf(get_docs())
-        ts = (tf.groupBy("term")
+        ts = (get_tf().groupBy("term")
                 .agg(F.count(F.lit(1)).cast("long").alias("df"),
                      F.sum("tf").cast("long").alias("cf")))
         n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
@@ -209,8 +218,7 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
 
     # --- phase: level-0 posting segments ------------------------------------
     if not (resume and mf.read_checkpoint(index_dir, "level_0")):
-        tf = term_doc_tf(get_docs())
-        postings = build_postings(tf, cfg, stats["avgdl"], partitions)
+        postings = build_postings(get_tf(), cfg, stats["avgdl"], partitions)
         (postings.sortWithinPartitions("term", "first_doc")
                  .write.mode("overwrite").partitionBy("shard_id")
                  .parquet(level0_path))
@@ -221,6 +229,8 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
                         "resolver": cfg.conflict_resolver,
                         "routing": f"murmur3_x86_32 % (S={cfg.shards}, R={partitions})"},
         })
+    if tf_cached is not None:
+        tf_cached.unpersist()
     if docs is not None:
         docs.unpersist()
 

@@ -25,11 +25,29 @@ def checkpoint_path(index_dir: str, phase: str) -> str:
     return os.path.join(_ckpt_dir(index_dir), f"{phase}.json")
 
 
+def _relativize(index_dir: str, payload: dict[str, Any]) -> dict[str, Any]:
+    """Record segment paths relative to the index dir so the whole index is
+    relocatable (copy/rename the dir, readers rebase on read)."""
+    p = payload.get("path")
+    if p and os.path.isabs(p):
+        rel = os.path.relpath(p, os.path.abspath(index_dir))
+        if not rel.startswith(".."):
+            payload = dict(payload, path_rel=rel)
+    return payload
+
+
+def _rebase(index_dir: str, payload: dict[str, Any]) -> dict[str, Any]:
+    rel = payload.get("path_rel")
+    if rel:
+        payload = dict(payload, path=os.path.join(os.path.abspath(index_dir), rel))
+    return payload
+
+
 def write_checkpoint(index_dir: str, phase: str, payload: dict[str, Any]) -> None:
     """Atomic write-then-rename commit of one phase checkpoint."""
     d = _ckpt_dir(index_dir)
     os.makedirs(d, exist_ok=True)
-    payload = dict(payload, phase=phase, complete=True)
+    payload = dict(_relativize(index_dir, payload), phase=phase, complete=True)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=f".{phase}.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(payload, f, indent=1, default=str)
@@ -42,7 +60,7 @@ def read_checkpoint(index_dir: str, phase: str) -> dict[str, Any] | None:
         return None
     with open(p) as f:
         payload = json.load(f)
-    return payload if payload.get("complete") else None
+    return _rebase(index_dir, payload) if payload.get("complete") else None
 
 
 def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
@@ -54,7 +72,7 @@ def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
         "input": input_path,
         "config": asdict(cfg) if not isinstance(cfg, dict) else cfg,
         "stats": stats,
-        "levels": levels,
+        "levels": [_relativize(index_dir, lv) for lv in levels],
         "final_level": levels[-1]["level"] if levels else 0,
         "shards": (cfg["shards"] if isinstance(cfg, dict) else cfg.shards),
     }
@@ -67,4 +85,6 @@ def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
 
 def read_manifest(index_dir: str) -> dict[str, Any]:
     with open(os.path.join(index_dir, "manifest.json")) as f:
-        return json.load(f)
+        m = json.load(f)
+    m["levels"] = [_rebase(index_dir, lv) for lv in m.get("levels", [])]
+    return m

@@ -65,7 +65,11 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float):
                  b["len_bytes"])
                 for b in encode_blocks(d, t, ln, avgdl, cfg.block_size,
                                        cfg.k1, cfg.b)]
-        return pd.DataFrame(rows, columns=list(pdf.columns))
+        # explicit column order — a partitioned-parquet read reorders input
+        # columns (partition col last), so pdf.columns must not be reused
+        return pd.DataFrame(rows, columns=[
+            "shard_id", "term", "first_doc", "last_doc", "n", "max_tf",
+            "max_tfnorm", "doc_bytes", "tf_bytes", "len_bytes"])
 
     return compact
 
@@ -85,6 +89,25 @@ def compact_level(spark: SparkSession, index_dir: str, level: int,
     return dst
 
 
+def rollup_metrics(segments: list[dict], fanout: int) -> list[dict]:
+    """Derive a merged level's per-shard metrics from the previous level's.
+
+    The tree merge is a metadata-level concat (shard_id //= fanout, block rows
+    unchanged), so n_terms is the only non-additive field — we upper-bound it
+    by the sum (exact recount happens once at the final level). Avoids a full
+    payload re-scan per level, which would read every posting byte N_levels
+    times at 10^12 scale."""
+    out: dict[int, dict] = {}
+    for s in segments:
+        dst = int(s["shard_id"]) // fanout
+        acc = out.setdefault(dst, {"shard_id": dst, "n_terms": 0,
+                                   "n_blocks": 0, "n_postings": 0,
+                                   "payload_bytes": 0})
+        for k in ("n_terms", "n_blocks", "n_postings", "payload_bytes"):
+            acc[k] += int(s[k])
+    return [out[k] for k in sorted(out)]
+
+
 def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
                     partitions: int, fanout: int, n_iters: int,
                     resume: bool = True) -> list[dict]:
@@ -95,18 +118,45 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
 
     levels: list[dict] = []
     cur = partitions
+    prev_segments = (mf.read_checkpoint(index_dir, "level_0") or {}).get("segments", [])
     for it in range(1, n_iters + 1):
         phase = f"level_{it}"
         ck = mf.read_checkpoint(index_dir, phase) if resume else None
         if ck is None:
             path, cur = merge_level(spark, index_dir, it - 1, fanout, cur)
+            segs = (segment_metrics(spark, path) if it == n_iters
+                    else rollup_metrics(prev_segments, fanout))
             mf.write_checkpoint(index_dir, phase, {
                 "path": path, "n_shards": cur, "fanout": fanout,
-                "segments": segment_metrics(spark, path),
+                "segments": segs,
                 "lineage": {"from_level": it - 1, "fanout": fanout},
             })
             ck = mf.read_checkpoint(index_dir, phase)
         else:
             cur = ck["n_shards"]
+        prev_segments = ck.get("segments", [])
         levels.append(ck | {"level": it})
     return levels
+
+
+def compact_final(spark: SparkSession, index_dir: str) -> dict:
+    """forceMerge(maxSegments) analog as a standalone pass: rewrite the final
+    level so every (shard, term) posting list uses full-size blocks, then
+    recommit the manifest pointing at the compacted level
+    (TreeMergeOutputFormat.java:170-183)."""
+    from ..config import IndexConfig
+    from .build import segment_metrics
+
+    m = mf.read_manifest(index_dir)
+    cfg = IndexConfig(**{k: (tuple(v) if k == "stopwords" else v)
+                         for k, v in m["config"].items()})
+    final = m["levels"][-1]
+    if final.get("compacted"):
+        return m
+    level_no = int(final["level"])
+    path = compact_level(spark, index_dir, level_no, cfg,
+                         float(m["stats"]["avgdl"]), int(final["n_shards"]))
+    levels = m["levels"][:-1] + [dict(final, path=path, compacted=True,
+                                      segments=segment_metrics(spark, path))]
+    return mf.write_manifest(index_dir, m["config"], m["stats"], levels,
+                             m["input"])

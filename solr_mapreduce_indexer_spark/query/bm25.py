@@ -74,16 +74,19 @@ def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[s
     return {r["term"]: int(r["df"]) for r in rows}
 
 
-def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
+def _score_shard_kernel(queries_by_slice: dict[int, list[dict]],
+                        idfs: dict[str, float],
                         avgdl: float, k1: float, b: float):
-    """applyInPandas kernel over one shard's blocks for a batch of queries.
-    Input pdf: term, first_doc, last_doc, n, doc_bytes, tf_bytes, len_bytes.
-    Output: query_id, doc_id, score (per-shard top-k candidates)."""
+    """applyInPandas kernel over one (shard, query-slice) group's blocks.
+    Input pdf: qslice, term, first_doc, last_doc, n, max_tfnorm, doc_bytes,
+    tf_bytes, len_bytes. Output: query_id, doc_id, score (per-shard top-k
+    candidates). Parallelism = shards x query slices, so a 64-query batch
+    saturates the cluster even on a 4-shard index."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        queries = queries_by_slice[int(pdf["qslice"].iloc[0])]
         by_term: dict[str, pd.DataFrame] = {
             t: g.sort_values("first_doc") for t, g in pdf.groupby("term")}
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
         def decode_term(t: str, ranges: np.ndarray | None = None):
             """Decode a term's blocks; when `ranges` (sorted candidate doc
@@ -135,16 +138,40 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                     if len(cand_docs) == 0:
                         break
                 docs, scores = cand_docs, cand_scores
-            else:  # OR
+            else:  # OR — vectorized MaxScore (Turtle & Flood '95) with
+                   # block-max skipping for non-essential terms (Q5).
                 if not terms:
                     continue
-                parts = [decode_term(t) for t in sorted(terms)]
-                alld = np.concatenate([p[0] for p in parts])
-                allc = np.concatenate([p[1] for p in parts])
-                if len(alld) == 0:
-                    continue
-                docs, inv = np.unique(alld, return_inverse=True)
-                scores = np.bincount(inv, weights=allc)
+                k = q["k"]
+                # term-level score upper bound: idf * max block tfnorm
+                ubs = {t: idfs[t] * float(by_term[t]["max_tfnorm"].max())
+                       for t in terms}
+                # stable order: ub desc, term asc (reproducible float sums)
+                ts_sorted = sorted(terms, key=lambda t: (-ubs[t], t))
+                suffix = np.cumsum([ubs[t] for t in ts_sorted][::-1])[::-1]
+                cand_docs = np.empty(0, np.int64)
+                cand_scores = np.empty(0, np.float64)
+                theta = -1.0  # k-th best accumulated score so far
+                for i, t in enumerate(ts_sorted):
+                    if i > 0 and suffix[i] < theta:
+                        # non-essential: no unseen doc can reach top-k;
+                        # only update existing candidates, skipping blocks
+                        # outside the candidate doc-id ranges.
+                        d, c = decode_term(t, ranges=cand_docs)
+                        pos = np.searchsorted(cand_docs, d)
+                        pos = np.clip(pos, 0, max(len(cand_docs) - 1, 0))
+                        hit = (cand_docs[pos] == d) if len(cand_docs) else \
+                            np.zeros(len(d), dtype=bool)
+                        np.add.at(cand_scores, pos[hit], c[hit])
+                    else:
+                        d, c = decode_term(t)
+                        alld = np.concatenate([cand_docs, d])
+                        allc = np.concatenate([cand_scores, c])
+                        cand_docs, inv = np.unique(alld, return_inverse=True)
+                        cand_scores = np.bincount(inv, weights=allc)
+                    if len(cand_scores) >= k:
+                        theta = float(np.partition(cand_scores, -k)[-k])
+                docs, scores = cand_docs, cand_scores
             if len(docs) == 0:
                 continue
             k = q["k"]
@@ -192,11 +219,29 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     if not present:
         return empty
 
+    # Slice the query batch so scoring parallelism is shards x slices (not
+    # capped at the shard count); a block row is shipped only to the slices
+    # whose queries reference its term.
+    par = spark.sparkContext.defaultParallelism
+    n_slices = max(1, min(len(norm_queries), -(-2 * par // max(1, cfg.shards))))
+    queries_by_slice: dict[int, list[dict]] = {}
+    term_slices: dict[str, set[int]] = {}
+    for i, q in enumerate(norm_queries):
+        s = i % n_slices
+        queries_by_slice.setdefault(s, []).append(q)
+        for t in q["terms"]:
+            term_slices.setdefault(t, set()).add(s)
+    smap = F.create_map(*[x for t, ss in sorted(term_slices.items())
+                          for x in (F.lit(t),
+                                    F.array(*[F.lit(s) for s in sorted(ss)]))])
+
     blocks = (spark.read.parquet(h.postings_path)
-              .where(F.col("term").isin(present)))
-    cand = (blocks.groupBy("shard_id")
+              .where(F.col("term").isin(present))
+              .withColumn("qslice", F.explode(smap[F.col("term")])))
+    cand = (blocks.groupBy("shard_id", "qslice")
             .applyInPandas(
-                _score_shard_kernel(norm_queries, idfs, h.avgdl, cfg.k1, cfg.b),
+                _score_shard_kernel(queries_by_slice, idfs, h.avgdl,
+                                    cfg.k1, cfg.b),
                 schema="query_id long, doc_id long, score double"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
