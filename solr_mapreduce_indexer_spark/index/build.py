@@ -38,8 +38,10 @@ from . import manifest as mf
 from .codec import encode_blocks
 
 POSTINGS_SCHEMA = ("shard_id int, term string, first_doc long, last_doc long, "
-                   "n int, max_tf int, max_tfnorm double, "
+                   "n int, max_tf int, sum_tf long, min_dl int, "
+                   "max_tfnorm double, "
                    "doc_bytes binary, tf_bytes binary, len_bytes binary")
+POSTINGS_COLS = [f.split()[0] for f in POSTINGS_SCHEMA.split(", ")]
 
 
 def prepare_docs(df: DataFrame, cfg: IndexConfig, partitions: int) -> DataFrame:
@@ -100,11 +102,10 @@ def _encode_mapper(cfg: IndexConfig, avgdl: float):
                                          block_size=block_size, k1=k1, b=b):
                     out.append((int(shard), term, blk["first_doc"],
                                 blk["last_doc"], blk["n"], blk["max_tf"],
+                                blk["sum_tf"], blk["min_dl"],
                                 blk["max_tfnorm"], blk["doc_bytes"],
                                 blk["tf_bytes"], blk["len_bytes"]))
-            yield pd.DataFrame(out, columns=[
-                "shard_id", "term", "first_doc", "last_doc", "n", "max_tf",
-                "max_tfnorm", "doc_bytes", "tf_bytes", "len_bytes"])
+            yield pd.DataFrame(out, columns=POSTINGS_COLS)
 
     return encode_iter
 
@@ -185,8 +186,10 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
         return tf_cached
 
     # --- phase: docmap + corpus stats ---------------------------------------
+    import time
     ck = mf.read_checkpoint(index_dir, "docmap") if resume else None
     if ck is None:
+        t0 = time.time()
         d = get_docs()
         (d.drop("tokens")
           .repartition(partitions, "shard_id")
@@ -199,31 +202,21 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
                  "total_tokens": int(agg["total_tokens"])}
         mf.write_checkpoint(index_dir, "docmap",
                             {"path": docmap_path, "stats": stats,
-                             "partitions": partitions})
+                             "partitions": partitions,
+                             "wall_s": round(time.time() - t0, 2)})
         ck = mf.read_checkpoint(index_dir, "docmap")
     stats = ck["stats"]
 
-    # --- phase: term stats (global df/cf for BM25 idf) ----------------------
-    if not (resume and mf.read_checkpoint(index_dir, "term_stats")):
-        ts = (get_tf().groupBy("term")
-                .agg(F.count(F.lit(1)).cast("long").alias("df"),
-                     F.sum("tf").cast("long").alias("cf")))
-        n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-        (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
-           .write.mode("overwrite").parquet(term_stats_path))
-        n_terms = spark.read.parquet(term_stats_path).count()
-        mf.write_checkpoint(index_dir, "term_stats",
-                            {"path": term_stats_path, "n_terms": n_terms})
-    stats["n_terms"] = mf.read_checkpoint(index_dir, "term_stats")["n_terms"]
-
     # --- phase: level-0 posting segments ------------------------------------
     if not (resume and mf.read_checkpoint(index_dir, "level_0")):
+        t0 = time.time()
         postings = build_postings(get_tf(), cfg, stats["avgdl"], partitions)
         (postings.sortWithinPartitions("term", "first_doc")
                  .write.mode("overwrite").partitionBy("shard_id")
                  .parquet(level0_path))
         mf.write_checkpoint(index_dir, "level_0", {
             "path": level0_path, "n_shards": partitions,
+            "wall_s": round(time.time() - t0, 2),
             "segments": segment_metrics(spark, level0_path),
             "lineage": {"input": input_path,
                         "resolver": cfg.conflict_resolver,
@@ -233,6 +226,25 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
         tf_cached.unpersist()
     if docs is not None:
         docs.unpersist()
+
+    # --- phase: term stats (global df/cf for BM25 idf) ----------------------
+    # Derived from level-0 block METADATA (term, n, sum_tf): parquet column
+    # pruning means this never touches posting payload bytes — much cheaper
+    # than re-exploding tokens for a second full shuffle.
+    if not (resume and mf.read_checkpoint(index_dir, "term_stats")):
+        t0 = time.time()
+        ts = (spark.read.parquet(level0_path)
+              .groupBy("term")
+              .agg(F.sum("n").cast("long").alias("df"),
+                   F.sum("sum_tf").cast("long").alias("cf")))
+        n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+        (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+           .write.mode("overwrite").parquet(term_stats_path))
+        n_terms = spark.read.parquet(term_stats_path).count()
+        mf.write_checkpoint(index_dir, "term_stats",
+                            {"path": term_stats_path, "n_terms": n_terms,
+                             "wall_s": round(time.time() - t0, 2)})
+    stats["n_terms"] = mf.read_checkpoint(index_dir, "term_stats")["n_terms"]
 
     # --- phase: tree merge to target shard count ----------------------------
     levels = [mf.read_checkpoint(index_dir, "level_0")

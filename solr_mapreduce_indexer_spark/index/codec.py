@@ -118,6 +118,11 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
             "tf_bytes": varint_encode(t),
             "len_bytes": varint_encode(dl),
             "max_tf": int(t.max()),
+            # sum_tf/min_dl let df/cf derive from block METADATA alone
+            # (term_stats without re-exploding tokens) and give an
+            # avgdl-independent score bound tfnorm(max_tf, min_dl).
+            "sum_tf": int(t.sum()),
+            "min_dl": int(dl.min()),
             "max_tfnorm": float(tfnorm.max()),
         })
     return out

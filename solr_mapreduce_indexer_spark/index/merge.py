@@ -39,9 +39,14 @@ def merge_level(spark: SparkSession, index_dir: str, level: int,
     src = spark.read.parquet(level_path(index_dir, level))
     n_out = -(-n_shards_in // fanout)
     dst_path = level_path(index_dir, level + 1)
+    # Sub-split each output shard by term so write parallelism isn't capped
+    # at the (shrinking) shard count: a shard dir holds several term-hashed
+    # files, each internally sorted — readers sort blocks by first_doc anyway
+    # and a term's blocks stay within one file.
+    n_tasks = max(n_out, 2 * spark.sparkContext.defaultParallelism)
     (src.withColumn("shard_id",
                     (F.col("shard_id") / fanout).cast("int"))
-        .repartition(n_out, "shard_id")
+        .repartition(n_tasks, "shard_id", "term")
         .sortWithinPartitions("term", "first_doc")
         .write.mode("overwrite").partitionBy("shard_id").parquet(dst_path))
     return dst_path, n_out
@@ -60,16 +65,15 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float):
             docs.append(d); tfs.append(t); lens.append(ln)
         d = np.concatenate(docs); t = np.concatenate(tfs); ln = np.concatenate(lens)
         shard = int(pdf["shard_id"].iloc[0]); term = pdf["term"].iloc[0]
-        rows = [(shard, term, b["first_doc"], b["last_doc"], b["n"],
-                 b["max_tf"], b["max_tfnorm"], b["doc_bytes"], b["tf_bytes"],
-                 b["len_bytes"])
-                for b in encode_blocks(d, t, ln, avgdl, cfg.block_size,
-                                       cfg.k1, cfg.b)]
         # explicit column order — a partitioned-parquet read reorders input
         # columns (partition col last), so pdf.columns must not be reused
-        return pd.DataFrame(rows, columns=[
-            "shard_id", "term", "first_doc", "last_doc", "n", "max_tf",
-            "max_tfnorm", "doc_bytes", "tf_bytes", "len_bytes"])
+        from .build import POSTINGS_COLS
+        rows = [(shard, term, b["first_doc"], b["last_doc"], b["n"],
+                 b["max_tf"], b["sum_tf"], b["min_dl"], b["max_tfnorm"],
+                 b["doc_bytes"], b["tf_bytes"], b["len_bytes"])
+                for b in encode_blocks(d, t, ln, avgdl, cfg.block_size,
+                                       cfg.k1, cfg.b)]
+        return pd.DataFrame(rows, columns=POSTINGS_COLS)
 
     return compact
 
@@ -123,12 +127,14 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         phase = f"level_{it}"
         ck = mf.read_checkpoint(index_dir, phase) if resume else None
         if ck is None:
+            import time
+            t0 = time.time()
             path, cur = merge_level(spark, index_dir, it - 1, fanout, cur)
             segs = (segment_metrics(spark, path) if it == n_iters
                     else rollup_metrics(prev_segments, fanout))
             mf.write_checkpoint(index_dir, phase, {
                 "path": path, "n_shards": cur, "fanout": fanout,
-                "segments": segs,
+                "segments": segs, "wall_s": round(time.time() - t0, 2),
                 "lineage": {"from_level": it - 1, "fanout": fanout},
             })
             ck = mf.read_checkpoint(index_dir, phase)

@@ -53,6 +53,10 @@ def _check_kernel(avgdl: float, k1: float, b: float):
             prev_last = int(d[-1]) if len(d) else prev_last
             if len(tf) and int(tf.max()) != r.max_tf:
                 errors.append("max_tf mismatch")
+            if len(tf) and int(tf.sum()) != r.sum_tf:
+                errors.append("sum_tf mismatch")
+            if len(dl) and int(dl.min()) != r.min_dl:
+                errors.append("min_dl mismatch")
             if len(tf):
                 true_max = float(bm25_tfnorm(tf, dl, avgdl, k1, b).max())
                 if r.max_tfnorm < true_max - 1e-12:

@@ -74,27 +74,38 @@ def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[s
     return {r["term"]: int(r["df"]) for r in rows}
 
 
-def _score_shard_kernel(queries_by_slice: dict[int, list[dict]],
-                        idfs: dict[str, float],
+def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                         avgdl: float, k1: float, b: float):
-    """applyInPandas kernel over one (shard, query-slice) group's blocks.
-    Input pdf: qslice, term, first_doc, last_doc, n, max_tfnorm, doc_bytes,
+    """applyInPandas kernel over one shard's blocks for the whole query
+    batch. Input pdf: term, first_doc, last_doc, n, max_tfnorm, doc_bytes,
     tf_bytes, len_bytes. Output: query_id, doc_id, score (per-shard top-k
-    candidates). Parallelism = shards x query slices, so a 64-query batch
-    saturates the cluster even on a 4-shard index."""
+    candidates).
+
+    Decode sharing is the key batch economics: a term referenced by many
+    queries (Zipf head) is decoded ONCE per shard and its per-posting BM25
+    contribution cached; ranged (block-skipping) requests reuse the cache via
+    searchsorted when available. One task per shard mirrors how a Solr/ES
+    query fans out — per-shard work is the unit of query parallelism."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        queries = queries_by_slice[int(pdf["qslice"].iloc[0])]
         by_term: dict[str, pd.DataFrame] = {
             t: g.sort_values("first_doc") for t, g in pdf.groupby("term")}
+        full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
         def decode_term(t: str, ranges: np.ndarray | None = None):
             """Decode a term's blocks; when `ranges` (sorted candidate doc
             ids) is given, skip blocks not intersecting any candidate."""
+            if t in full_cache:
+                d, c = full_cache[t]
+                if ranges is None or len(d) <= 1024:
+                    return d, c
+                lo = np.searchsorted(d, ranges[0])
+                hi = np.searchsorted(d, ranges[-1], side="right")
+                return d[lo:hi], c[lo:hi]
             g = by_term[t]
-            firsts = g["first_doc"].to_numpy()
-            lasts = g["last_doc"].to_numpy()
             if ranges is not None and len(ranges):
+                firsts = g["first_doc"].to_numpy()
+                lasts = g["last_doc"].to_numpy()
                 lo = np.searchsorted(ranges, firsts, side="left")
                 hi = np.searchsorted(ranges, lasts, side="right")
                 keep = hi > lo
@@ -109,8 +120,12 @@ def _score_shard_kernel(queries_by_slice: dict[int, list[dict]],
                 docs.append(d)
                 contribs.append(idfs[t] * bm25_tfnorm(tf, dl, avgdl, k1, b))
             if not docs:
-                return np.empty(0, np.int64), np.empty(0, np.float64)
-            return np.concatenate(docs), np.concatenate(contribs)
+                out = (np.empty(0, np.int64), np.empty(0, np.float64))
+            else:
+                out = (np.concatenate(docs), np.concatenate(contribs))
+            if ranges is None:
+                full_cache[t] = out
+            return out
 
         out_q, out_d, out_s = [], [], []
         for q in queries:
@@ -219,28 +234,11 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     if not present:
         return empty
 
-    # Slice the query batch so scoring parallelism is shards x slices (not
-    # capped at the shard count); a block row is shipped only to the slices
-    # whose queries reference its term.
-    par = spark.sparkContext.defaultParallelism
-    n_slices = max(1, min(len(norm_queries), -(-2 * par // max(1, cfg.shards))))
-    queries_by_slice: dict[int, list[dict]] = {}
-    term_slices: dict[str, set[int]] = {}
-    for i, q in enumerate(norm_queries):
-        s = i % n_slices
-        queries_by_slice.setdefault(s, []).append(q)
-        for t in q["terms"]:
-            term_slices.setdefault(t, set()).add(s)
-    smap = F.create_map(*[x for t, ss in sorted(term_slices.items())
-                          for x in (F.lit(t),
-                                    F.array(*[F.lit(s) for s in sorted(ss)]))])
-
     blocks = (spark.read.parquet(h.postings_path)
-              .where(F.col("term").isin(present))
-              .withColumn("qslice", F.explode(smap[F.col("term")])))
-    cand = (blocks.groupBy("shard_id", "qslice")
+              .where(F.col("term").isin(present)))
+    cand = (blocks.groupBy("shard_id")
             .applyInPandas(
-                _score_shard_kernel(queries_by_slice, idfs, h.avgdl,
+                _score_shard_kernel(norm_queries, idfs, h.avgdl,
                                     cfg.k1, cfg.b),
                 schema="query_id long, doc_id long, score double"))
 

@@ -78,7 +78,10 @@ def synth_transcripts_pandas(n_convs: int = 1000, turns_per_conv: int = 10,
     tools = np.where(roles == "tool",
                      np.array(_TOOLS)[conv % len(_TOOLS)], None)
     base = pd.Timestamp("2024-01-01", tz=None)
-    ts = base + pd.to_timedelta(conv * 86_400 + turn * 60, unit="s")
+    # wrap the per-conversation day offset so ts fits timedelta64[ns] at any
+    # corpus size (conv*86400s overflows past ~100k convs); identical values
+    # below 40k convs, and within-conversation ordering is always preserved
+    ts = base + pd.to_timedelta((conv % 40_000) * 86_400 + turn * 60, unit="s")
 
     pdf = pd.DataFrame({
         "conv_id": [f"conv{c:08d}" for c in conv],

@@ -1,0 +1,239 @@
+"""Incremental / streaming index ingest.
+
+The reference is a pure batch pipeline (no streaming operator exists in it —
+SURVEY §2.8; fault tolerance is "rerun the job",
+MapReduceIndexerToolArgumentParser.java:100-102). Its deployment story,
+though, is incremental: batch-built shards are routed with the SAME murmur3
+compositeId semantics as SolrCloud's near-real-time updates precisely so new
+documents can keep flowing into the same collection
+(SolrCloudPartitioner.java:40-50). This module is the Spark-native version of
+that story: Structured Streaming micro-batches append **generations** of
+posting segments to an index directory, and a finalize pass commits a
+standard queryable manifest.
+
+Design:
+
+* Each micro-batch b becomes generation g=b with its own micro-shard id
+  space: ``doc_id = ((g*S + shard) << doc_bits) | local_idx``. Within a final
+  shard, generations occupy disjoint ascending doc-id ranges, so — exactly
+  like the tree merge (index/merge.py) — combining generations is a
+  metadata-level concat of block rows, never a posting rewrite.
+* ``append_batch`` is idempotent per generation id (checkpoint-exists skip),
+  so ``foreachBatch`` retries after failure give exactly-once segments.
+* BM25's global stats (N, avgdl) drift as data arrives. Posting payloads are
+  immutable and store raw (tf, dl) — scores stay exact under any avgdl. Only
+  the block-max pruning bound bakes avgdl in; ``finalize_stream_index``
+  recomputes it as a pure column expression from the avgdl-independent
+  metadata pair (max_tf, min_dl): tfnorm is increasing in tf and decreasing
+  in dl, so tfnorm(max_tf, min_dl, avgdl_final) upper-bounds every posting in
+  the block — no payload decode, no Python.
+* Cross-generation duplicate keys are NOT resolved at append time (the
+  engine cannot delete from committed segments, same as Lucene segments
+  pre-merge); finalize counts them and records the count in the manifest so
+  callers can assert zero or schedule a rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.analysis import tokenize_col
+from ..functions.routing import routing_pandas_udf
+from ..index import manifest as mf
+from ..index.build import build_postings, term_doc_tf
+from ..operators.dedup import RESOLVERS
+
+
+def _gen_phase(gen: int) -> str:
+    return f"gen_{gen}"
+
+
+def _prepare_gen_docs(df: DataFrame, cfg: IndexConfig, gen: int) -> DataFrame:
+    """Like build.prepare_docs but doc ids live in generation gen's
+    micro-shard namespace (micro = gen*S + shard)."""
+    resolver = RESOLVERS[cfg.conflict_resolver]
+    deduped = resolver(df, order_by=cfg.order_by_field) \
+        if cfg.conflict_resolver != "no_change" else df
+    route = routing_pandas_udf(cfg.shards)  # root-shard routing
+    keyed = (deduped
+             .withColumn("doc_key", F.concat_ws("#", F.col("conv_id"),
+                                                F.col("turn_idx").cast("string")))
+             .withColumn("shard_id", route(F.col("doc_key")))
+             .withColumn("tokens", tokenize_col("text", cfg)))
+    w = Window.partitionBy("shard_id").orderBy("conv_id", "turn_idx")
+    micro = F.col("shard_id").cast("long") + F.lit(gen * cfg.shards)
+    return (keyed
+            .withColumn("doc_id",
+                        micro * F.lit(1 << cfg.doc_bits)
+                        + F.row_number().over(w).cast("long") - 1)
+            .withColumn("doc_len", F.size("tokens"))
+            .withColumn("text_hash", F.xxhash64("text"))
+            .select("shard_id", "doc_id", "conv_id", "turn_idx", "role", "ts",
+                    "doc_len", "text_hash", "tokens"))
+
+
+def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
+                 index_dir: str, gen: int) -> dict:
+    """Append one generation of segments. Idempotent per (index_dir, gen):
+    a committed generation checkpoint short-circuits (foreachBatch replays
+    after failure therefore produce each segment exactly once)."""
+    from ..session import ensure_shipped
+
+    ck = mf.read_checkpoint(index_dir, _gen_phase(gen))
+    if ck is not None:
+        return ck
+    ensure_shipped(spark)
+    os.makedirs(index_dir, exist_ok=True)
+
+    docmap_path = os.path.join(index_dir, f"docmap_gen_{gen}")
+    seg_path = os.path.join(index_dir, "segments", f"gen_{gen}")
+
+    docs = _prepare_gen_docs(df, cfg, gen).persist()
+    agg = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens")
+                   ).collect()[0]
+    n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"])
+    if n_docs == 0:
+        docs.unpersist()
+        payload = {"path": None, "n_docs": 0, "total_tokens": 0, "gen": gen}
+        mf.write_checkpoint(index_dir, _gen_phase(gen), payload)
+        return payload
+
+    (docs.drop("tokens").repartition(cfg.shards, "shard_id")
+         .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
+    avgdl_batch = total_tokens / n_docs  # encoding-time bound only; finalize
+    # recomputes bounds from (max_tf, min_dl) with the global avgdl.
+    postings = build_postings(term_doc_tf(docs), cfg, avgdl_batch, cfg.shards)
+    (postings.sortWithinPartitions("term", "first_doc")
+             .write.mode("overwrite").partitionBy("shard_id").parquet(seg_path))
+    docs.unpersist()
+
+    payload = {"path": seg_path, "docmap": docmap_path, "gen": gen,
+               "n_docs": n_docs, "total_tokens": total_tokens,
+               "lineage": {"mode": "stream_append", "generation": gen,
+                           "routing": f"murmur3_x86_32 % S={cfg.shards}"}}
+    mf.write_checkpoint(index_dir, _gen_phase(gen), payload)
+    return payload
+
+
+def stream_ingest(spark: SparkSession, stream_df: DataFrame, cfg: IndexConfig,
+                  index_dir: str, checkpoint_location: str, **trigger):
+    """Attach the appender to a streaming transcripts DataFrame.
+
+    Returns the started StreamingQuery. Generation id = micro-batch id, so
+    Spark's offset checkpointing + append_batch's idempotence give
+    exactly-once segment generations end-to-end. Example::
+
+        q = stream_ingest(spark, spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                                       .parquet(landing_dir),
+                          cfg, idx_dir, ckpt_dir, availableNow=True)
+        q.awaitTermination()
+        finalize_stream_index(spark, idx_dir, cfg)
+    """
+    if not trigger:
+        trigger = {"processingTime": "30 seconds"}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(batch_df.sparkSession, batch_df, cfg, index_dir,
+                     gen=int(batch_id))
+
+    return (stream_df.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_location)
+            .trigger(**trigger)
+            .start())
+
+
+def list_generations(index_dir: str) -> list[dict]:
+    gens = []
+    g = 0
+    while True:
+        ck = mf.read_checkpoint(index_dir, _gen_phase(g))
+        if ck is None:
+            break
+        gens.append(ck)
+        g += 1
+    return gens
+
+
+def finalize_stream_index(spark: SparkSession, index_dir: str,
+                          cfg: IndexConfig) -> dict:
+    """Commit all generations as one standard queryable index.
+
+    Metadata-level concat (no posting decode): union generation block rows,
+    recompute the block-max bound from (max_tf, min_dl) under the global
+    avgdl, rewrite sorted per shard; union docmaps; derive term_stats from
+    block metadata. Records cross-generation duplicate-key count."""
+    from ..session import ensure_shipped
+    ensure_shipped(spark)
+
+    gens = [g for g in list_generations(index_dir) if g["n_docs"] > 0]
+    if not gens:
+        raise ValueError(f"no generations to finalize in {index_dir}")
+    n_docs = sum(g["n_docs"] for g in gens)
+    total_tokens = sum(g["total_tokens"] for g in gens)
+    avgdl = total_tokens / n_docs
+
+    from functools import reduce
+
+    def _union_reads(paths: list[str]) -> DataFrame:
+        # each generation dir is independently partitioned by shard_id, so a
+        # multi-path read trips CONFLICTING_DIRECTORY_STRUCTURES — union them
+        return reduce(DataFrame.unionByName,
+                      [spark.read.parquet(p) for p in paths])
+
+    # --- docmap union + duplicate-key audit ---------------------------------
+    docmap_path = os.path.join(index_dir, "docmap")
+    dm = _union_reads([g["docmap"] for g in gens])
+    (dm.repartition(cfg.shards, "shard_id")
+       .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
+    dup_keys = (spark.read.parquet(docmap_path)
+                .groupBy("conv_id", "turn_idx").count()
+                .where(F.col("count") > 1).count())
+
+    # --- postings: concat generations, re-bound block-max, sort, commit -----
+    level_path = os.path.join(index_dir, "segments", "stream_final")
+    k1, b = float(cfg.k1), float(cfg.b)
+    blocks = _union_reads([g["path"] for g in gens])
+    mtf = F.col("max_tf").cast("double")
+    bound = (mtf * F.lit(k1 + 1.0)
+             / (mtf + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("min_dl").cast("double")
+                                   / F.lit(avgdl))))
+    (blocks.withColumn("max_tfnorm", bound)
+           .repartition(cfg.shards, "shard_id")
+           .sortWithinPartitions("term", "first_doc")
+           .write.mode("overwrite").partitionBy("shard_id").parquet(level_path))
+
+    # --- term stats from block metadata (column-pruned scan) ----------------
+    term_stats_path = os.path.join(index_dir, "term_stats")
+    ts = (spark.read.parquet(level_path)
+          .groupBy("term")
+          .agg(F.sum("n").cast("long").alias("df"),
+               F.sum("sum_tf").cast("long").alias("cf")))
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+       .write.mode("overwrite").parquet(term_stats_path))
+    n_terms = spark.read.parquet(term_stats_path).count()
+
+    from ..index.build import segment_metrics
+    mf.write_checkpoint(index_dir, "docmap", {
+        "path": docmap_path,
+        "stats": {"n_docs": n_docs, "avgdl": avgdl,
+                  "total_tokens": total_tokens},
+        "partitions": cfg.shards})
+    mf.write_checkpoint(index_dir, "term_stats",
+                        {"path": term_stats_path, "n_terms": n_terms})
+    level = {"level": 0, "path": level_path, "n_shards": cfg.shards,
+             "segments": segment_metrics(spark, level_path),
+             "lineage": {"generations": [g["gen"] for g in gens],
+                         "duplicate_keys": dup_keys}}
+    mf.write_checkpoint(index_dir, "level_0", level)
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
+             "n_terms": n_terms, "duplicate_keys": dup_keys}
+    return mf.write_manifest(index_dir, cfg, stats, [level],
+                             input_path=f"stream:{len(gens)} generations")

@@ -1,0 +1,133 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so we run THE SAME job on THE SAME
+input at two parallelism levels — local[8] (N) and local[32] (4N) — in fresh
+JVMs, and report throughput at both plus efficiency:
+
+    eff = (throughput_4N / throughput_N) / 4
+
+The corpus is sized so 32 cores have real work (default 1M turns, ~42 tokens
+each); the index config is held constant (64 micro-shards -> 8 shards,
+fanout 8, shuffle_partitions 64) so only the core count varies. Each level
+runs in a subprocess so JVM/session state can't leak between levels.
+
+Usage:  python tools/scaling_bench.py [--turns 1000000] [--levels 8 32]
+Prints one JSON line; also appends a row-formatted summary for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from solr_mapreduce_indexer_spark.session import get_spark
+from solr_mapreduce_indexer_spark.config import IndexConfig
+from solr_mapreduce_indexer_spark.index.build import build_index
+from solr_mapreduce_indexer_spark.query.bm25 import load_index, run_queries
+
+cpus = {cpus}
+spark = get_spark(app=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=64, driver_memory="24g")
+tr = spark.read.parquet({src!r})
+n = tr.count()
+cfg = IndexConfig(shards=8, reducers=64, fanout=8)
+idx = {idx!r}
+t0 = time.time()
+build_index(spark, tr, cfg, idx, input_path={src!r}, resume=False)
+build_s = time.time() - t0
+
+h = load_index(idx)
+sys.path.insert(0, os.path.join({repo!r}))
+from bench import make_queries
+qs = make_queries(64)
+t0 = time.time()
+run_queries(spark, h, qs).count()
+query_s = time.time() - t0
+
+phases = {{}}
+ckdir = os.path.join(idx, "checkpoints")
+for fn in sorted(os.listdir(ckdir)):
+    with open(os.path.join(ckdir, fn)) as fh:
+        p = json.load(fh)
+    if "wall_s" in p:
+        phases[p["phase"]] = p["wall_s"]
+print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n,
+    "build_s": round(build_s, 2), "turns_per_sec": round(n / build_s, 1),
+    "query_s": round(query_s, 2), "bm25_qps": round(64 / query_s, 1),
+    "phases": phases}}))
+"""
+
+
+def run_level(cpus: int, src: str, work: str) -> dict:
+    idx = os.path.join(work, f"idx_{cpus}")
+    shutil.rmtree(idx, ignore_errors=True)
+    code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="smis_scaling_")
+    src = os.path.join(work, "transcripts")
+
+    # synthesize once, reuse at both levels (identical input by construction);
+    # chunked so the driver never materializes the whole corpus at once
+    sys.path.insert(0, REPO)
+    from solr_mapreduce_indexer_spark.session import get_spark
+    from solr_mapreduce_indexer_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA, synth_transcripts_pandas)
+    spark = get_spark(app="scaling_synth", master="local[8]",
+                      shuffle_partitions=16, driver_memory="16g")
+    n_chunks = max(1, args.turns // 100_000)
+    convs_per_chunk = args.turns // 8 // n_chunks
+    for c in range(n_chunks):
+        pdf = synth_transcripts_pandas(n_convs=convs_per_chunk,
+                                       turns_per_conv=8, vocab_size=10_000,
+                                       seed=42 + c)
+        pdf["conv_id"] = pdf["conv_id"] + f"c{c}"
+        (spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+              .repartition(8).write.mode("append").parquet(src))
+        del pdf
+    spark.stop()
+
+    lo, hi = sorted(args.levels)
+    r_lo = run_level(lo, src, work)
+    r_hi = run_level(hi, src, work)
+    ratio = hi / lo
+    eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
+    eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
+    result = {
+        "metric": "scaling efficiency N->4N (local[8] vs local[32], same input)",
+        "n_turns": r_lo["n_turns"],
+        "levels": {str(lo): r_lo, str(hi): r_hi},
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_scaling_efficiency": round(eff_query, 3),
+    }
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
