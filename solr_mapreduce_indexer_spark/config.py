@@ -25,10 +25,11 @@ class IndexConfig:
     # --- posting layout ---
     block_size: int = 128          # postings per compressed block (Lucene-style)
     doc_bits: int = 40             # doc_id = (shard_id << doc_bits) | local_idx
-    chunk_bits: int = 18           # local doc-id range per agg chunk: bounds the
-                                   # per-group state of the posting encoder so a
-                                   # hot term (stop word) never materializes one
-                                   # giant group (salted-by-range two-phase agg)
+    chunk_bits: int = 18           # retained for manifest compat; the fused
+                                   # per-shard index kernel (build.py
+                                   # _index_shard_mapper) bounds memory by
+                                   # micro-shard, so range-chunk salting of
+                                   # posting groups is no longer needed
 
     # --- BM25 (Lucene BM25Similarity defaults) ---
     k1: float = 1.2

@@ -4,10 +4,17 @@ Spark-first restatement of the reference's five-phase MR pipeline
 (MapReduceIndexerTool five phases, MapReduceIndexerToolArgumentParser.java:66-102):
 
   randomize  → subsumed by hash routing (uniform by construction)
-  mapper     → tokenize via built-in regexp_extract_all (JVM-side, codegen)
-  reducer    → per-micro-shard doc-id assignment + posting aggregation
-               (groupBy, map-side partial agg; salted by doc-id range chunk so
-               a hot term never materializes one giant group)
+  mapper     → dedup + murmur3 routing + doc-id assignment (one shuffle by
+               unique key, one by shard); tokenize is a JVM expression
+               (regexp_extract_all) derived inline by each consumer — never
+               cached (array<string> caching measured allocation-bound)
+  reducer    → _index_shard_mapper: each task builds its micro-shards'
+               complete inverted index in one fused pass (tf count + posting
+               grouping + block encode), the exact analog of one reference
+               reducer's EmbeddedSolrServer; hot-term skew is bounded because
+               a term's postings within one micro-shard are just an array
+               slice (no collect_list groups), and shard sizes are uniform by
+               murmur3 routing
   mtree merge→ index/merge.py (block concat, addIndexes analog)
   go-live    → manifest commit (atomic JSON rename)
 
@@ -45,11 +52,15 @@ POSTINGS_COLS = [f.split()[0] for f in POSTINGS_SCHEMA.split(", ")]
 
 
 def prepare_docs(df: DataFrame, cfg: IndexConfig, partitions: int) -> DataFrame:
-    """dedup → route → assign two-level doc ids → tokenize.
+    """dedup → route → assign two-level doc ids.
 
-    Output: shard_id, doc_id, conv_id, turn_idx, role, ts, doc_len,
-    text_hash, tokens.
-    """
+    Output: shard_id, doc_id, conv_id, turn_idx, role, ts, text.
+
+    Deliberately does NOT materialize a tokens column: caching/carrying
+    array<string> of ~40+ tokens per row is allocation-bound and anti-scales
+    (measured slower at 32 cores than 8); the tokenizer is a cheap JVM
+    expression, so each consumer derives tokens inline and streams them into
+    its own aggregation."""
     resolver = RESOLVERS[cfg.conflict_resolver]
     deduped = resolver(df, order_by=cfg.order_by_field) \
         if cfg.conflict_resolver != "no_change" else df
@@ -58,97 +69,159 @@ def prepare_docs(df: DataFrame, cfg: IndexConfig, partitions: int) -> DataFrame:
     keyed = (deduped
              .withColumn("doc_key", F.concat_ws("#", F.col("conv_id"),
                                                 F.col("turn_idx").cast("string")))
-             .withColumn("shard_id", route(F.col("doc_key")))
-             .withColumn("tokens", tokenize_col("text", cfg)))
+             .withColumn("shard_id", route(F.col("doc_key"))))
 
     w = Window.partitionBy("shard_id").orderBy("conv_id", "turn_idx")
     return (keyed
             .withColumn("doc_id",
                         F.col("shard_id").cast("long") * F.lit(1 << cfg.doc_bits)
                         + F.row_number().over(w).cast("long") - 1)
-            .withColumn("doc_len", F.size("tokens"))
-            .withColumn("text_hash", F.xxhash64("text"))
             .select("shard_id", "doc_id", "conv_id", "turn_idx", "role", "ts",
-                    "doc_len", "text_hash", "tokens"))
+                    "text"))
 
 
-def term_doc_tf(docs: DataFrame) -> DataFrame:
+def docmap_cols(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Doc metadata rows for the docmap segment (doc_len/text_hash derived
+    inline from text; text itself is not stored)."""
+    return (docs
+            .withColumn("doc_len", F.size(tokenize_col("text", cfg)))
+            .withColumn("text_hash", F.xxhash64("text"))
+            .drop("text"))
+
+
+def term_doc_tf(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Exploded (shard_id, doc_id, doc_len, term, tf) table — the relational
     core of the index build (reference analog: what the EmbeddedSolrServer's
-    Lucene writer derives internally per reducer, SolrRecordWriter.java:258-284)."""
-    return (docs
-            .select("shard_id", "doc_id", "doc_len",
+    Lucene writer derives internally per reducer, SolrRecordWriter.java:258-284).
+    Tokenization streams directly into the explode + partial agg."""
+    toks = docs.select("shard_id", "doc_id",
+                       tokenize_col("text", cfg).alias("tokens"))
+    return (toks
+            .select("shard_id", "doc_id", F.size("tokens").alias("doc_len"),
                     F.explode("tokens").alias("term"))
             .groupBy("shard_id", "doc_id", "doc_len", "term")
             .agg(F.count(F.lit(1)).cast("int").alias("tf")))
 
 
-def _encode_mapper(cfg: IndexConfig, avgdl: float):
-    """mapInPandas kernel: (shard, term, chunk, docs[], tfs[], dls[]) rows →
-    posting-block rows. Vectorized inside each group via codec.encode_blocks."""
+def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
+    """mapInPandas kernel: a partition of (shard_id, doc_id, doc_len,
+    tokens[]) rows, sorted by (shard_id, doc_id), → posting-block rows.
+
+    This is the engine's "reducer": each task builds the complete inverted
+    index of the micro-shards it owns, exactly like one reference reducer
+    hosting an EmbeddedSolrServer builds one micro-shard's Lucene index
+    (SolrReducer.java:40-47, SolrRecordWriter.java:258-284). Fusing
+    tf-counting, posting-list grouping, and block encoding into one pass
+    means the whole posting build costs ONE shuffle (by shard) instead of
+    three (tf agg, posting collect_list, shard repartition) — at 10^12 rows
+    the removed shuffles are the dominant cost.
+
+    Vectorization: tokens are factorized to int codes (hash-based), postings
+    derived by one lexsort + run-length pass; memory is bounded by one
+    micro-shard's tokens (the same contract the reference's 16 GB reducers
+    have, MorphlineEnabledIndexerTool.java:177-179 — size R accordingly)."""
     block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
 
-    def encode_iter(batches):
+    def build_shard(shard: int, doc_ids: list, dls: list,
+                    token_arrays: list) -> pd.DataFrame:
+        lens = np.fromiter((len(t) for t in token_arrays), np.int64,
+                           len(token_arrays))
+        if lens.sum() == 0:
+            return pd.DataFrame(columns=POSTINGS_COLS)
+        all_toks = np.concatenate([np.asarray(t, dtype=object)
+                                   for t in token_arrays])
+        codes, terms = pd.factorize(all_toks)
+        doc_rep = np.repeat(np.asarray(doc_ids, np.int64), lens)
+        dl_rep = np.repeat(np.asarray(dls, np.int64), lens)
+        order = np.lexsort((doc_rep, codes))
+        c, d, dl = codes[order], doc_rep[order], dl_rep[order]
+        # run-length over (term code, doc) → tf per posting
+        new = np.empty(len(c), dtype=bool)
+        new[0] = True
+        new[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(c)))
+        cu, du, dlu = c[starts], d[starts], dl[starts]
+        # term boundaries over the posting runs
+        tnew = np.empty(len(cu), dtype=bool)
+        tnew[0] = True
+        tnew[1:] = cu[1:] != cu[:-1]
+        tstarts = np.flatnonzero(tnew)
+        tends = np.append(tstarts[1:], len(cu))
+        out: list[tuple] = []
+        for s, e in zip(tstarts, tends):
+            term = terms[cu[s]]
+            for blk in encode_blocks(du[s:e], tf[s:e], dlu[s:e], avgdl,
+                                     block_size=block_size, k1=k1, b=b):
+                out.append((shard, term, blk["first_doc"], blk["last_doc"],
+                            blk["n"], blk["max_tf"], blk["sum_tf"],
+                            blk["min_dl"], blk["max_tfnorm"],
+                            blk["doc_bytes"], blk["tf_bytes"],
+                            blk["len_bytes"]))
+        return pd.DataFrame(out, columns=POSTINGS_COLS)
+
+    def index_partition(batches):
+        cur = None
+        doc_ids: list = []
+        dls: list = []
+        toks: list = []
         for pdf in batches:
-            out: list[tuple] = []
-            for shard, term, docs, tfs, dls in zip(
-                    pdf["shard_id"].to_numpy(), pdf["term"].to_numpy(),
-                    pdf["docs"].to_numpy(), pdf["tfs"].to_numpy(),
-                    pdf["dls"].to_numpy()):
-                docs = np.asarray(docs, dtype=np.int64)
-                tfs = np.asarray(tfs, dtype=np.int64)
-                dls = np.asarray(dls, dtype=np.int64)
-                for blk in encode_blocks(docs, tfs, dls, avgdl,
-                                         block_size=block_size, k1=k1, b=b):
-                    out.append((int(shard), term, blk["first_doc"],
-                                blk["last_doc"], blk["n"], blk["max_tf"],
-                                blk["sum_tf"], blk["min_dl"],
-                                blk["max_tfnorm"], blk["doc_bytes"],
-                                blk["tf_bytes"], blk["len_bytes"]))
-            yield pd.DataFrame(out, columns=POSTINGS_COLS)
+            for shard, doc_id, dl, tk in zip(
+                    pdf["shard_id"].to_numpy(), pdf["doc_id"].to_numpy(),
+                    pdf["doc_len"].to_numpy(), pdf["tokens"].to_numpy()):
+                if shard != cur:
+                    if cur is not None:
+                        yield build_shard(int(cur), doc_ids, dls, toks)
+                    cur, doc_ids, dls, toks = shard, [], [], []
+                doc_ids.append(doc_id)
+                dls.append(dl)
+                toks.append(tk)
+        if cur is not None:
+            yield build_shard(int(cur), doc_ids, dls, toks)
 
-    return encode_iter
+    return index_partition
 
 
-def build_postings(tf: DataFrame, cfg: IndexConfig, avgdl: float,
+def build_postings(docs: DataFrame, cfg: IndexConfig, avgdl: float,
                    partitions: int) -> DataFrame:
-    """tf table → compressed posting-block rows (one row per block).
+    """docs (shard_id, doc_id, …, text) → compressed posting-block rows.
 
-    Skew safety: grouping key is (shard, term, chunk) where
-    chunk = local_doc_id >> chunk_bits — a *range*-based salt, so each group
-    is bounded by 2^chunk_bits docs and the encoded sub-blocks of consecutive
-    chunks concatenate into a globally doc-id-sorted posting list without
-    re-encoding (each block stores its absolute first_doc)."""
-    local_mask = (1 << cfg.doc_bits) - 1
-    chunked = tf.withColumn(
-        "chunk", F.shiftright(F.col("doc_id").bitwiseAND(F.lit(local_mask)),
-                              cfg.chunk_bits))
-    grouped = (chunked
-               .groupBy("shard_id", "term", "chunk")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct("doc_id", "tf", "doc_len"))).alias("p"))
-               .select("shard_id", "term", "chunk",
-                       F.col("p.doc_id").alias("docs"),
-                       F.col("p.tf").alias("tfs"),
-                       F.col("p.doc_len").alias("dls")))
-    return (grouped
-            .repartition(partitions, "shard_id")
-            .mapInPandas(_encode_mapper(cfg, avgdl), schema=POSTINGS_SCHEMA))
+    One shuffle: co-locate each micro-shard's rows, sort by doc id, tokenize
+    JVM-side on the way into the Arrow transfer, and build each shard's
+    index in a single fused kernel (see _index_shard_mapper)."""
+    src = (docs
+           .repartition(partitions, "shard_id")
+           .sortWithinPartitions("shard_id", "doc_id")
+           .withColumn("tokens", tokenize_col("text", cfg))
+           .select("shard_id", "doc_id", F.size("tokens").alias("doc_len"),
+                   "tokens"))
+    return src.mapInPandas(_index_shard_mapper(cfg, avgdl),
+                           schema=POSTINGS_SCHEMA)
 
 
 def segment_metrics(spark: SparkSession, segments_path: str) -> list[dict]:
     """Per-shard lineage/metrics rows for the manifest (north rule: per-
     partition lineage + posting/byte metrics; reference counters analog
-    SolrCounters.java:23-39)."""
+    SolrCounters.java:23-39).
+
+    Reads only metadata columns (parquet column pruning) — payload bytes come
+    from the segment files' on-disk sizes, so this never re-reads posting
+    payloads (which would scan the whole index once per merge level)."""
     seg = spark.read.parquet(segments_path)
     rows = (seg.groupBy("shard_id")
             .agg(F.countDistinct("term").alias("n_terms"),
                  F.count(F.lit(1)).alias("n_blocks"),
-                 F.sum("n").alias("n_postings"),
-                 (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes"))
-                  + F.sum(F.length("len_bytes"))).alias("payload_bytes"))
+                 F.sum("n").alias("n_postings"))
             .orderBy("shard_id").collect())
-    return [r.asDict() for r in rows]
+    sizes: dict[int, int] = {}
+    if os.path.isdir(segments_path):
+        for entry in os.scandir(segments_path):
+            if entry.is_dir() and entry.name.startswith("shard_id="):
+                sid = int(entry.name.split("=", 1)[1])
+                sizes[sid] = sum(f.stat().st_size for f in os.scandir(entry.path)
+                                 if f.is_file() and not f.name.startswith("."))
+    return [r.asDict() | {"payload_bytes": sizes.get(r["shard_id"], -1)}
+            for r in rows]
 
 
 def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
@@ -168,35 +241,28 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     level0_path = os.path.join(index_dir, "segments", "level_0")
 
     docs = None
-    tf_cached = None
 
     def get_docs() -> DataFrame:
+        # cached rows are scalar columns + raw text — cheap to build; tokens
+        # are derived inline by each consumer (see prepare_docs docstring)
         nonlocal docs
         if docs is None:
             docs = prepare_docs(df, cfg, partitions).persist()
         return docs
-
-    def get_tf() -> DataFrame:
-        # One explode + partial agg feeds BOTH term_stats and level-0
-        # postings; at 10^12 turns re-deriving it would double the most
-        # expensive shuffle in the pipeline.
-        nonlocal tf_cached
-        if tf_cached is None:
-            tf_cached = term_doc_tf(get_docs()).persist()
-        return tf_cached
 
     # --- phase: docmap + corpus stats ---------------------------------------
     import time
     ck = mf.read_checkpoint(index_dir, "docmap") if resume else None
     if ck is None:
         t0 = time.time()
-        d = get_docs()
-        (d.drop("tokens")
+        (docmap_cols(get_docs(), cfg)
           .repartition(partitions, "shard_id")
           .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
-        agg = d.agg(F.count(F.lit(1)).alias("n_docs"),
+        # stats from the written docmap: a column-pruned doc_len scan
+        agg = (spark.read.parquet(docmap_path)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.avg("doc_len").alias("avgdl"),
-                    F.sum("doc_len").alias("total_tokens")).collect()[0]
+                    F.sum("doc_len").alias("total_tokens")).collect()[0])
         stats = {"n_docs": int(agg["n_docs"]),
                  "avgdl": float(agg["avgdl"]),
                  "total_tokens": int(agg["total_tokens"])}
@@ -210,7 +276,7 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     # --- phase: level-0 posting segments ------------------------------------
     if not (resume and mf.read_checkpoint(index_dir, "level_0")):
         t0 = time.time()
-        postings = build_postings(get_tf(), cfg, stats["avgdl"], partitions)
+        postings = build_postings(get_docs(), cfg, stats["avgdl"], partitions)
         (postings.sortWithinPartitions("term", "first_doc")
                  .write.mode("overwrite").partitionBy("shard_id")
                  .parquet(level0_path))
@@ -222,8 +288,6 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
                         "resolver": cfg.conflict_resolver,
                         "routing": f"murmur3_x86_32 % (S={cfg.shards}, R={partitions})"},
         })
-    if tf_cached is not None:
-        tf_cached.unpersist()
     if docs is not None:
         docs.unpersist()
 

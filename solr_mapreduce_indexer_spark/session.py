@@ -65,13 +65,20 @@ def get_spark(app: str = "solr_mapreduce_indexer_spark",
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         # local-FS checksum sidecars (.crc) double the small-file op count
+         # for zero value here; real clusters use HDFS/S3 committers anyway
+         .config("spark.hadoop.fs.file.impl",
+                 "org.apache.hadoop.fs.RawLocalFileSystem")
          .config("spark.ui.enabled", "false")
          # the reference disables speculative execution because duplicate
          # writers corrupt an index (IndexTool.java:129-131); our segment
          # writes are write-once + manifest commit, but keep parity:
          .config("spark.speculation", "false"))
     if driver_memory:
-        b = b.config("spark.driver.memory", driver_memory)
+        # pre-size the heap: growing it lazily causes minutes of first-touch
+        # page-fault noise on virtualized hosts, polluting benchmarks
+        b = (b.config("spark.driver.memory", driver_memory)
+              .config("spark.driver.extraJavaOptions", f"-Xms{driver_memory}"))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

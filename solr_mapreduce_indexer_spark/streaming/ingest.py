@@ -41,10 +41,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from ..functions.analysis import tokenize_col
 from ..functions.routing import routing_pandas_udf
 from ..index import manifest as mf
-from ..index.build import build_postings, term_doc_tf
+from ..index.build import build_postings, docmap_cols
 from ..operators.dedup import RESOLVERS
 
 
@@ -62,18 +61,15 @@ def _prepare_gen_docs(df: DataFrame, cfg: IndexConfig, gen: int) -> DataFrame:
     keyed = (deduped
              .withColumn("doc_key", F.concat_ws("#", F.col("conv_id"),
                                                 F.col("turn_idx").cast("string")))
-             .withColumn("shard_id", route(F.col("doc_key")))
-             .withColumn("tokens", tokenize_col("text", cfg)))
+             .withColumn("shard_id", route(F.col("doc_key"))))
     w = Window.partitionBy("shard_id").orderBy("conv_id", "turn_idx")
     micro = F.col("shard_id").cast("long") + F.lit(gen * cfg.shards)
     return (keyed
             .withColumn("doc_id",
                         micro * F.lit(1 << cfg.doc_bits)
                         + F.row_number().over(w).cast("long") - 1)
-            .withColumn("doc_len", F.size("tokens"))
-            .withColumn("text_hash", F.xxhash64("text"))
             .select("shard_id", "doc_id", "conv_id", "turn_idx", "role", "ts",
-                    "doc_len", "text_hash", "tokens"))
+                    "text"))
 
 
 def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
@@ -93,9 +89,12 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     seg_path = os.path.join(index_dir, "segments", f"gen_{gen}")
 
     docs = _prepare_gen_docs(df, cfg, gen).persist()
-    agg = docs.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens")
-                   ).collect()[0]
+    (docmap_cols(docs, cfg).repartition(cfg.shards, "shard_id")
+         .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
+    agg = (spark.read.parquet(docmap_path)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens")
+                ).collect()[0])
     n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"])
     if n_docs == 0:
         docs.unpersist()
@@ -103,11 +102,9 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
         mf.write_checkpoint(index_dir, _gen_phase(gen), payload)
         return payload
 
-    (docs.drop("tokens").repartition(cfg.shards, "shard_id")
-         .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
     avgdl_batch = total_tokens / n_docs  # encoding-time bound only; finalize
     # recomputes bounds from (max_tf, min_dl) with the global avgdl.
-    postings = build_postings(term_doc_tf(docs), cfg, avgdl_batch, cfg.shards)
+    postings = build_postings(docs, cfg, avgdl_batch, cfg.shards)
     (postings.sortWithinPartitions("term", "first_doc")
              .write.mode("overwrite").partitionBy("shard_id").parquet(seg_path))
     docs.unpersist()

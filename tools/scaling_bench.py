@@ -38,19 +38,30 @@ from solr_mapreduce_indexer_spark.query.bm25 import load_index, run_queries
 
 cpus = {cpus}
 spark = get_spark(app=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=64, driver_memory="24g")
+                  shuffle_partitions=64, driver_memory="16g")
 tr = spark.read.parquet({src!r})
 n = tr.count()
 cfg = IndexConfig(shards=8, reducers=64, fanout=8)
 idx = {idx!r}
+sys.path.insert(0, os.path.join({repo!r}))
+from bench import make_queries
+qs = make_queries(64)
+
+# --- warm-up: JIT + heap first-touch + python worker pool + page cache ---
+# (steady-state throughput is the metric; a cold JVM's first ~2 minutes are
+# compilation/page-fault noise, not pipeline cost)
+import pyspark.sql.functions as F
+warm = tr.where(F.abs(F.xxhash64("conv_id")) % 10 == 0)
+build_index(spark, warm, cfg, idx + "_warm", resume=False)
+run_queries(spark, load_index(idx + "_warm"), qs).count()
+
+# --- measured: full corpus, fresh index dir ------------------------------
 t0 = time.time()
 build_index(spark, tr, cfg, idx, input_path={src!r}, resume=False)
 build_s = time.time() - t0
 
 h = load_index(idx)
-sys.path.insert(0, os.path.join({repo!r}))
-from bench import make_queries
-qs = make_queries(64)
+run_queries(spark, h, qs).count()   # first batch pays worker fan-out
 t0 = time.time()
 run_queries(spark, h, qs).count()
 query_s = time.time() - t0
