@@ -122,10 +122,11 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
     have, MorphlineEnabledIndexerTool.java:177-179 — size R accordingly)."""
     block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
 
-    def build_shard(shard: int, doc_ids: list, dls: list,
+    def build_shard(shard: int, doc_ids: list,
                     token_arrays: list) -> pd.DataFrame:
         lens = np.fromiter((len(t) for t in token_arrays), np.int64,
                            len(token_arrays))
+        dls = lens  # BM25 doc length == token count, derived here
         if lens.sum() == 0:
             return pd.DataFrame(columns=POSTINGS_COLS)
         all_toks = np.concatenate([np.asarray(t, dtype=object)
@@ -160,24 +161,28 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
                             blk["len_bytes"]))
         return pd.DataFrame(out, columns=POSTINGS_COLS)
 
+    from ..functions.analysis import tokenize_pandas
+
     def index_partition(batches):
+        # Tokenize HERE (python, oracle-twin regex) rather than JVM-side:
+        # shipping raw text over Arrow is ~2.5x fewer bytes than shipping
+        # token arrays, and the virtualized socket path is the bottleneck.
         cur = None
         doc_ids: list = []
-        dls: list = []
         toks: list = []
         for pdf in batches:
-            for shard, doc_id, dl, tk in zip(
+            batch_toks = tokenize_pandas(pdf["text"], cfg)
+            for shard, doc_id, tk in zip(
                     pdf["shard_id"].to_numpy(), pdf["doc_id"].to_numpy(),
-                    pdf["doc_len"].to_numpy(), pdf["tokens"].to_numpy()):
+                    batch_toks.to_numpy()):
                 if shard != cur:
                     if cur is not None:
-                        yield build_shard(int(cur), doc_ids, dls, toks)
-                    cur, doc_ids, dls, toks = shard, [], [], []
+                        yield build_shard(int(cur), doc_ids, toks)
+                    cur, doc_ids, toks = shard, [], []
                 doc_ids.append(doc_id)
-                dls.append(dl)
                 toks.append(tk)
         if cur is not None:
-            yield build_shard(int(cur), doc_ids, dls, toks)
+            yield build_shard(int(cur), doc_ids, toks)
 
     return index_partition
 
@@ -186,15 +191,13 @@ def build_postings(docs: DataFrame, cfg: IndexConfig, avgdl: float,
                    partitions: int) -> DataFrame:
     """docs (shard_id, doc_id, …, text) → compressed posting-block rows.
 
-    One shuffle: co-locate each micro-shard's rows, sort by doc id, tokenize
-    JVM-side on the way into the Arrow transfer, and build each shard's
-    index in a single fused kernel (see _index_shard_mapper)."""
+    One shuffle: co-locate each micro-shard's rows, sort by doc id, ship raw
+    text over Arrow, and build each shard's index in a single fused kernel
+    (tokenize → tf → posting lists → blocks; see _index_shard_mapper)."""
     src = (docs
            .repartition(partitions, "shard_id")
            .sortWithinPartitions("shard_id", "doc_id")
-           .withColumn("tokens", tokenize_col("text", cfg))
-           .select("shard_id", "doc_id", F.size("tokens").alias("doc_len"),
-                   "tokens"))
+           .select("shard_id", "doc_id", "text"))
     return src.mapInPandas(_index_shard_mapper(cfg, avgdl),
                            schema=POSTINGS_SCHEMA)
 

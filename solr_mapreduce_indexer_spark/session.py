@@ -69,6 +69,11 @@ def get_spark(app: str = "solr_mapreduce_indexer_spark",
          # for zero value here; real clusters use HDFS/S3 committers anyway
          .config("spark.hadoop.fs.file.impl",
                  "org.apache.hadoop.fs.RawLocalFileSystem")
+         # 1 MB shuffle write buffers: measured 1.6x faster 1M-turn build on
+         # this sandbox's virtualized FS (default 32k causes a syscall per
+         # 32k shuffle bytes, which gVisor-style hosts serialize)
+         .config("spark.shuffle.file.buffer", "1m")
+         .config("spark.shuffle.unsafe.file.output.buffer", "1m")
          .config("spark.ui.enabled", "false")
          # the reference disables speculative execution because duplicate
          # writers corrupt an index (IndexTool.java:129-131); our segment

