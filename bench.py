@@ -83,11 +83,18 @@ def bench_run(spark, sf_dir: str, n_turns: int | None = None,
     timings: dict[str, float] = {}
 
     # --- corpus synthesis (not timed as a query; deterministic, seeded) ----
+    # Chunk the pandas->Spark transfer: one giant createDataFrame of the full
+    # sf corpus was the round-1 driver-OOM signature (1g default heap died in
+    # Arrow conversion). 128k-row chunks keep peak driver memory flat at any sf.
     pdf = synth_transcripts_pandas(n_convs=n_convs, turns_per_conv=turns_per_conv,
                                    vocab_size=10_000, seed=42)
     src_path = os.path.join(work_dir, "transcripts")
-    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA) \
-         .write.mode("overwrite").parquet(src_path)
+    chunk = 131_072
+    for i, start in enumerate(range(0, len(pdf), chunk)):
+        spark.createDataFrame(pdf.iloc[start:start + chunk],
+                              schema=TRANSCRIPT_SCHEMA) \
+             .write.mode("overwrite" if i == 0 else "append").parquet(src_path)
+    del pdf
     tr = spark.read.parquet(src_path)
     n_rows = tr.count()
 
@@ -145,9 +152,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     from solr_mapreduce_indexer_spark.session import get_spark
+    # driver_memory is mandatory here: local-mode driver defaults to 1g on
+    # this box and the sf0.1 build kills the JVM (round-1 bench rc=1); the
+    # factory also pre-sizes -Xms to avoid first-touch heap noise.
     spark = get_spark(app="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 16))
-    out = bench_run(spark, sf_dir)
+                      shuffle_partitions=max(cpus, 16),
+                      driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    try:
+        out = bench_run(spark, sf_dir)
+    except BaseException as e:  # noqa: BLE001 — always emit a parseable line
+        out = {"metric": "index_build+bm25+pipeline ops wall time",
+               "value": -1.0, "unit": "sec", "queries": {},
+               "sf": parse_sf(sf_dir), "error": f"{type(e).__name__}: {e}"[:500]}
+        print(json.dumps(out))
+        raise
     print(json.dumps(out))
 
 
