@@ -14,10 +14,28 @@ orderBy(score desc, doc_id asc).limit(k) resolves each query. All float math
 is float64 with a fixed term-iteration order (sorted terms) so results are
 reproducible and oracle-comparable.
 
-AND queries prune blocks before decoding: the rarest term (min df) is the
-essential list; other terms' blocks are skipped unless their [first_doc,
-last_doc] range intersects an essential candidate (block-max skipping in the
-spirit of WAND, Ding & Suel SIGIR'11).
+Block-max pruning (SURVEY §2.7 Q5; Ding & Suel SIGIR'11, reference semantics
+from shaded Lucene's BlockMax WAND): every block stores max_tfnorm, so
+idf·max_tfnorm is a sound per-block score bound. The kernel uses it three ways:
+
+* AND: the rarest term is the essential list, processed in descending
+  per-block bound order (bound = block ub + Σ other-term ubs); once k
+  conjunctive matches are scored, all remaining essential blocks whose bound
+  falls below the running k-th score are never decoded. Non-essential terms
+  decode only blocks whose doc range intersects surviving candidates.
+* OR: vectorized MaxScore (Turtle & Flood '95). Essential terms decode fully
+  only the blocks that could mint a NEW top-k doc (block ub + remaining
+  suffix ≥ θ); their other blocks decode update-only where they overlap
+  candidates. Non-essential terms first drop candidates whose partial score
+  + remaining suffix can't reach θ, then decode only candidate-overlapping
+  blocks.
+* All decoded blocks are cached per (term, block) for the whole query batch,
+  so a Zipf-head term is decoded at most once per shard per batch.
+
+Skipping is exact, not approximate: bounds are accumulated in the same
+left-to-right order as real scores (floating-point monotonicity) and compared
+with a 1e-9 absolute slack, so skipped docs are provably below the k-th score
+— results are bit-identical to exhaustive evaluation.
 """
 
 from __future__ import annotations
@@ -74,6 +92,14 @@ def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[s
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+# Decoded-block observability: incremented on every block-cache MISS inside
+# the scoring kernel. Executors each have their own copy; tests call the
+# kernel in-process to measure pruning (see tests/test_blockmax.py).
+DECODE_STATS = {"blocks_decoded": 0}
+
+_EPS = 1e-9  # absolute slack on bound-vs-theta comparisons (scores are O(10))
+
+
 def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                         avgdl: float, k1: float, b: float):
     """applyInPandas kernel over one shard's blocks for the whole query
@@ -81,111 +107,171 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
     tf_bytes, len_bytes. Output: query_id, doc_id, score (per-shard top-k
     candidates).
 
-    Decode sharing is the key batch economics: a term referenced by many
-    queries (Zipf head) is decoded ONCE per shard and its per-posting BM25
-    contribution cached; ranged (block-skipping) requests reuse the cache via
-    searchsorted when available. One task per shard mirrors how a Solr/ES
+    Decode sharing is the key batch economics: blocks are cached per
+    (term, block), so a term referenced by many queries (Zipf head) is
+    decoded at most once per shard per batch regardless of which query (or
+    which pruning path) touches it. One task per shard mirrors how a Solr/ES
     query fans out — per-shard work is the unit of query parallelism."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term: dict[str, pd.DataFrame] = {
-            t: g.sort_values("first_doc") for t, g in pdf.groupby("term")}
-        full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            t: g.sort_values("first_doc").reset_index(drop=True)
+            for t, g in pdf.groupby("term")}
+        meta: dict[str, tuple] = {}
+        block_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
 
-        def decode_term(t: str, ranges: np.ndarray | None = None):
-            """Decode a term's blocks; when `ranges` (sorted candidate doc
-            ids) is given, skip blocks not intersecting any candidate."""
-            if t in full_cache:
-                d, c = full_cache[t]
-                if ranges is None or len(d) <= 1024:
-                    return d, c
-                lo = np.searchsorted(d, ranges[0])
-                hi = np.searchsorted(d, ranges[-1], side="right")
-                return d[lo:hi], c[lo:hi]
-            g = by_term[t]
-            if ranges is not None and len(ranges):
-                firsts = g["first_doc"].to_numpy()
-                lasts = g["last_doc"].to_numpy()
-                lo = np.searchsorted(ranges, firsts, side="left")
-                hi = np.searchsorted(ranges, lasts, side="right")
-                keep = hi > lo
-            else:
-                keep = np.ones(len(g), dtype=bool)
+        def term_meta(t: str) -> tuple:
+            """(firsts, lasts, block score ubs, doc/tf/len byte arrays)."""
+            m = meta.get(t)
+            if m is None:
+                g = by_term[t]
+                m = (g["first_doc"].to_numpy(), g["last_doc"].to_numpy(),
+                     idfs[t] * g["max_tfnorm"].to_numpy(),
+                     g["doc_bytes"].to_numpy(), g["tf_bytes"].to_numpy(),
+                     g["len_bytes"].to_numpy())
+                meta[t] = m
+            return m
+
+        def decode_blocks(t: str, idx: np.ndarray):
+            """Decode the given block ordinals of term t (per-block cache);
+            returns (doc_ids, bm25 contributions) concatenated."""
+            firsts, _lasts, _ubs, db, tb, lb = term_meta(t)
             docs, contribs = [], []
-            for i, r in enumerate(g.itertuples(index=False)):
-                if not keep[i]:
-                    continue
-                d, tf, dl = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
-                                         r.first_doc)
-                docs.append(d)
-                contribs.append(idfs[t] * bm25_tfnorm(tf, dl, avgdl, k1, b))
+            for i in idx:
+                i = int(i)
+                got = block_cache.get((t, i))
+                if got is None:
+                    d, tf, dl = decode_block(db[i], tb[i], lb[i],
+                                             int(firsts[i]))
+                    got = (d, idfs[t] * bm25_tfnorm(tf, dl, avgdl, k1, b))
+                    block_cache[(t, i)] = got
+                    DECODE_STATS["blocks_decoded"] += 1
+                docs.append(got[0])
+                contribs.append(got[1])
             if not docs:
-                out = (np.empty(0, np.int64), np.empty(0, np.float64))
-            else:
-                out = (np.concatenate(docs), np.concatenate(contribs))
-            if ranges is None:
-                full_cache[t] = out
-            return out
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            return np.concatenate(docs), np.concatenate(contribs)
+
+        def blocks_hitting(t: str, cand: np.ndarray) -> np.ndarray:
+            """Ordinals of t's blocks whose [first_doc, last_doc] range
+            intersects any of the sorted candidate doc ids."""
+            if len(cand) == 0:
+                return np.empty(0, np.int64)
+            firsts, lasts, *_ = term_meta(t)
+            lo = np.searchsorted(cand, firsts, side="left")
+            hi = np.searchsorted(cand, lasts, side="right")
+            return np.flatnonzero(hi > lo)
+
+        def intersect_update(cand_docs, cand_scores, d, c):
+            """AND-step: keep candidates present in (d, c), add contribution."""
+            pos = np.searchsorted(cand_docs, d)
+            pos = np.clip(pos, 0, max(len(cand_docs) - 1, 0))
+            hit = (cand_docs[pos] == d) if len(cand_docs) else \
+                np.zeros(len(d), dtype=bool)
+            keep_mask = np.zeros(len(cand_docs), dtype=bool)
+            keep_mask[pos[hit]] = True
+            add = np.zeros(len(cand_docs), dtype=np.float64)
+            add[pos[hit]] = c[hit]
+            return cand_docs[keep_mask], (cand_scores + add)[keep_mask]
 
         out_q, out_d, out_s = [], [], []
         for q in queries:
-            terms = [t for t in q["terms"] if t in by_term] \
-                if q["mode"] == "OR" else q["terms"]
+            k = q["k"]
             if q["mode"] == "AND":
+                terms = q["terms"]
                 if any(t not in by_term for t in terms):
                     continue  # this shard can't contain a conjunctive match
-                # essential list = rarest term; prune other terms' blocks
-                terms_sorted = sorted(terms, key=lambda t: idfs[t], reverse=True)
+                # essential list = rarest term (highest idf); process its
+                # blocks in descending score-bound order with early stop.
+                terms_sorted = sorted(terms, key=lambda t: idfs[t],
+                                      reverse=True)
                 ess = terms_sorted[0]
-                cand_docs, cand_scores = decode_term(ess)
-                for t in sorted(terms_sorted[1:]):
-                    d, c = decode_term(t, ranges=cand_docs)
-                    # galloping-style intersection via searchsorted
-                    pos = np.searchsorted(cand_docs, d)
-                    pos = np.clip(pos, 0, len(cand_docs) - 1)
-                    hit = cand_docs[pos] == d
-                    keep_mask = np.zeros(len(cand_docs), dtype=bool)
-                    keep_mask[pos[hit]] = True
-                    add = np.zeros(len(cand_docs), dtype=np.float64)
-                    add[pos[hit]] = c[hit]
-                    cand_docs = cand_docs[keep_mask]
-                    cand_scores = (cand_scores + add)[keep_mask]
-                    if len(cand_docs) == 0:
-                        break
-                docs, scores = cand_docs, cand_scores
+                others = sorted(terms_sorted[1:])
+                bounds = term_meta(ess)[2].astype(np.float64).copy()
+                for t in others:  # same accumulation order as real scores
+                    bounds = bounds + float(term_meta(t)[2].max())
+                order = np.argsort(-bounds, kind="stable")
+                acc_d: list[np.ndarray] = []
+                acc_s: list[np.ndarray] = []
+                n_acc = 0
+                theta = -np.inf
+                CHUNK = 32
+                for cs in range(0, len(order), CHUNK):
+                    sel = order[cs:cs + CHUNK]
+                    if bounds[sel[0]] < theta - _EPS:
+                        break  # desc bound order: every later block is below
+                    cd, csc = decode_blocks(ess, np.sort(sel))
+                    o = np.argsort(cd, kind="stable")
+                    cd, csc = cd[o], csc[o]
+                    for t in others:
+                        d, c = decode_blocks(t, blocks_hitting(t, cd))
+                        cd, csc = intersect_update(cd, csc, d, c)
+                        if len(cd) == 0:
+                            break
+                    if len(cd):
+                        acc_d.append(cd)
+                        acc_s.append(csc)
+                        n_acc += len(cd)
+                        if n_acc >= k:
+                            allsc = np.concatenate(acc_s)
+                            theta = float(np.partition(allsc, -k)[-k])
+                docs = np.concatenate(acc_d) if acc_d else np.empty(0, np.int64)
+                scores = (np.concatenate(acc_s) if acc_s
+                          else np.empty(0, np.float64))
             else:  # OR — vectorized MaxScore (Turtle & Flood '95) with
-                   # block-max skipping for non-essential terms (Q5).
+                   # block-max skipping in both phases (Q5).
+                terms = [t for t in q["terms"] if t in by_term]
                 if not terms:
                     continue
-                k = q["k"]
                 # term-level score upper bound: idf * max block tfnorm
-                ubs = {t: idfs[t] * float(by_term[t]["max_tfnorm"].max())
-                       for t in terms}
+                ubs = {t: float(term_meta(t)[2].max()) for t in terms}
                 # stable order: ub desc, term asc (reproducible float sums)
                 ts_sorted = sorted(terms, key=lambda t: (-ubs[t], t))
                 suffix = np.cumsum([ubs[t] for t in ts_sorted][::-1])[::-1]
                 cand_docs = np.empty(0, np.int64)
                 cand_scores = np.empty(0, np.float64)
-                theta = -1.0  # k-th best accumulated score so far
+                theta = -np.inf  # k-th best accumulated score so far
                 for i, t in enumerate(ts_sorted):
-                    if i > 0 and suffix[i] < theta:
-                        # non-essential: no unseen doc can reach top-k;
-                        # only update existing candidates, skipping blocks
-                        # outside the candidate doc-id ranges.
-                        d, c = decode_term(t, ranges=cand_docs)
+                    rem_after = float(suffix[i + 1]) if i + 1 < len(ts_sorted) \
+                        else 0.0
+                    if i > 0 and suffix[i] < theta - _EPS:
+                        # non-essential: no unseen doc can reach top-k. Drop
+                        # candidates that can't reach theta either (their
+                        # final score is provably below the k-th), then
+                        # decode only candidate-overlapping blocks.
+                        alive = cand_scores + suffix[i] >= theta - _EPS
+                        cand_docs = cand_docs[alive]
+                        cand_scores = cand_scores[alive]
+                        d, c = decode_blocks(t, blocks_hitting(t, cand_docs))
                         pos = np.searchsorted(cand_docs, d)
                         pos = np.clip(pos, 0, max(len(cand_docs) - 1, 0))
                         hit = (cand_docs[pos] == d) if len(cand_docs) else \
                             np.zeros(len(d), dtype=bool)
                         np.add.at(cand_scores, pos[hit], c[hit])
                     else:
-                        d, c = decode_term(t)
+                        # essential: only blocks whose bound can mint a NEW
+                        # top-k doc decode fully; the rest decode update-only
+                        # where they overlap current candidates.
+                        block_ubs = term_meta(t)[2]
+                        new_idx = np.flatnonzero(
+                            block_ubs + rem_after >= theta - _EPS)
+                        upd_idx = np.setdiff1d(blocks_hitting(t, cand_docs),
+                                               new_idx, assume_unique=True)
+                        if len(upd_idx) and len(cand_docs):
+                            du, cu = decode_blocks(t, upd_idx)
+                            pos = np.searchsorted(cand_docs, du)
+                            pos = np.clip(pos, 0, len(cand_docs) - 1)
+                            hit = cand_docs[pos] == du
+                            np.add.at(cand_scores, pos[hit], cu[hit])
+                        d, c = decode_blocks(t, new_idx)
                         alld = np.concatenate([cand_docs, d])
                         allc = np.concatenate([cand_scores, c])
                         cand_docs, inv = np.unique(alld, return_inverse=True)
-                        cand_scores = np.bincount(inv, weights=allc)
+                        cand_scores = np.bincount(
+                            inv, weights=allc, minlength=len(cand_docs))
                     if len(cand_scores) >= k:
-                        theta = float(np.partition(cand_scores, -k)[-k])
+                        theta = max(theta, float(
+                            np.partition(cand_scores, -k)[-k]))
                 docs, scores = cand_docs, cand_scores
             if len(docs) == 0:
                 continue
@@ -234,13 +320,31 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     if not present:
         return empty
 
-    blocks = (spark.read.parquet(h.postings_path)
-              .where(F.col("term").isin(present)))
-    cand = (blocks.groupBy("shard_id")
-            .applyInPandas(
-                _score_shard_kernel(norm_queries, idfs, h.avgdl,
-                                    cfg.k1, cfg.b),
-                schema="query_id long, doc_id long, score double"))
+    # Query-slice fan-out: one kernel task per (shard, query-slice) so batch
+    # parallelism is shards × slices, not just the final shard count (a
+    # 4-shard index would otherwise use 4 cores no matter the cluster size).
+    # Each slice scans with its OWN term filter, so combined scan I/O stays
+    # ≈ one filtered pass (segments are term-sorted; row groups prune); the
+    # only duplicated work is decoding a term shared by two slices twice.
+    par = spark.sparkContext.defaultParallelism
+    kschema = "query_id long, doc_id long, score double"
+    n_slices = max(1, min(len(norm_queries), par // max(1, cfg.shards)))
+    slices = [norm_queries[i::n_slices] for i in range(n_slices)]
+    parts = []
+    for sl in slices:
+        sl_terms = sorted({t for q in sl for t in q["terms"] if t in dfs})
+        if not sl_terms:
+            continue
+        bl = (spark.read.parquet(h.postings_path)
+              .where(F.col("term").isin(sl_terms)))
+        parts.append(bl.groupBy("shard_id").applyInPandas(
+            _score_shard_kernel(sl, idfs, h.avgdl, cfg.k1, cfg.b),
+            schema=kschema))
+    if not parts:
+        return empty
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.union(p)
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ks = {q["query_id"]: q["k"] for q in norm_queries}
@@ -248,8 +352,26 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     topk = (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= kmap[F.col("query_id")]))
 
-    docmap = spark.read.parquet(h.docmap_path).select("doc_id", "conv_id", "turn_idx")
-    return (docmap.join(F.broadcast(topk), "doc_id")
+    # Land the top-k candidate set driver-side (≤ Σ k rows — tiny by
+    # construction) so the docmap map-back can be partition-pruned: doc_id
+    # embeds its micro-shard in the high bits and the docmap is written
+    # partitionBy(shard_id), so only touched shard partitions are scanned.
+    # The old docmap.join(broadcast(topk)) was shuffle-free but read EVERY
+    # docmap row to recover k×queries hits — a full-table scan per batch at
+    # 10^12 docs. This makes run_queries eager (one Spark job runs here);
+    # query evaluation is naturally an action, so callers see no difference.
+    rows = topk.collect()
+    if not rows:
+        return empty
+    hit_shards = sorted({int(r["doc_id"]) >> cfg.doc_bits for r in rows})
+    tk = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["rank"]), int(r["doc_id"]),
+          float(r["score"])) for r in rows],
+        "query_id long, rank int, doc_id long, score double")
+    docmap = (spark.read.parquet(h.docmap_path)
+              .where(F.col("shard_id").isin(hit_shards))
+              .select("doc_id", "conv_id", "turn_idx"))
+    return (docmap.join(F.broadcast(tk), "doc_id")
             .select("query_id", "rank", "doc_id", "conv_id", "turn_idx", "score")
             .orderBy("query_id", "rank"))
 
