@@ -26,13 +26,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from solr_mapreduce_indexer_spark.config import IndexConfig
+from solr_mapreduce_indexer_spark.functions import oracle_sql as OSQL
 from solr_mapreduce_indexer_spark.functions.analysis import tokenize_col
 from solr_mapreduce_indexer_spark.functions.textops import (
     EN_STOP, LANG_MARKERS, fingerprint, lang_id, quality_features,
-    token_counts, winnow_fingerprint)
+    token_counts, winnow_fingerprints)
 from solr_mapreduce_indexer_spark.functions.routing import routing_pandas_udf
 from solr_mapreduce_indexer_spark.operators.dedupe_ops import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs)
+    _minhash_params, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_near_pairs)
 from solr_mapreduce_indexer_spark.operators.simsearch import _dot, _norm
 from solr_mapreduce_indexer_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_DOCUMENTS_SQL, transcripts_from_documents)
@@ -189,9 +191,10 @@ def q_conflict_metrics(spark, sf_dir):
 
 
 def q_routing_counts(spark, sf_dir):
-    """SURVEY §2.2 P2: murmur3 micro-shard routing histogram (not
-    SQL-expressible → rows-only check; parity vs an independent scalar
-    murmur3 is pytest-oracled in tests/test_routing.py)."""
+    """SURVEY §2.2 P2: murmur3 micro-shard routing histogram. Full oracle:
+    the DuckDB twin computes murmur3_x86_32 + hash-range routing in pure SQL
+    (functions/oracle_sql.murmur3_cte); an independent scalar murmur3 is also
+    pytest-oracled in tests/test_routing.py."""
     tr = transcripts_from_documents(spark, sf_dir)
     route = routing_pandas_udf(shards=2, partitions=8)
     key = F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
@@ -237,8 +240,9 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_winnow(spark, sf_dir):
-    """Winnowing fingerprint (xxhash64 — no DuckDB twin → rows-only)."""
-    return winnow_fingerprint(_docs(spark, sf_dir))
+    """True winnowing fingerprints (Schleimer et al. SIGMOD'03): md5-60
+    k-gram hashes, per-window rightmost-min selection — full DuckDB oracle."""
+    return winnow_fingerprints(_docs(spark, sf_dir), k=3, w=4)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -247,14 +251,17 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (hash-permutation kernel → rows-only)."""
+    """MinHash+LSH near-dup pairs, md5 hash family (DuckDB-replayable:
+    28-bit shingle hashes keep (a*h+b)%p exact in BIGINT → full oracle)."""
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=64, bands=16,
-                             jaccard_threshold=0.8)
+                             jaccard_threshold=0.8, hash_family="md5")
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 kernel → rows-only)."""
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs, md5 hash family (60-bit signatures, 4×15-bit
+    pigeonhole bands → full DuckDB oracle)."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                              hash_family="md5")
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -435,6 +442,14 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE i / (card_a + card_b - i) >= 0.8
         """,
+        "routing_counts": OSQL.routing_counts_sql(
+            TRANSCRIPTS_FROM_DOCUMENTS_SQL, shards=2, partitions=8),
+        "winnow": OSQL.winnow_sql(TOKENIZE_SQL, k=3, w=4),
+        "minhash_pairs": OSQL.minhash_pairs_sql(
+            TOKENIZE_SQL, shingle_w=3, num_perm=64, bands=16, threshold=0.8,
+            a=_minhash_params(64, 42, "md5")[0],
+            b=_minhash_params(64, 42, "md5")[1]),
+        "simhash_pairs": OSQL.simhash_pairs_sql(TOKENIZE_SQL, max_hamming=3),
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             sc AS (SELECT vec_id,

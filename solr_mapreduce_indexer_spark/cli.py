@@ -52,15 +52,20 @@ def _cfg_from(args) -> IndexConfig:
     return IndexConfig(shards=args.shards, reducers=args.reducers,
                        fanout=args.fanout, max_segments=args.max_segments,
                        conflict_resolver=args.conflict_resolver,
-                       order_by_field=args.order_by_field)
+                       order_by_field=args.order_by_field,
+                       compression=args.compression)
 
 
 def cmd_build(args) -> int:
     from .index.build import build_index
-    from .sources.transcripts import read_transcripts
+    from .sources.transcripts import apply_field_overrides, read_transcripts
 
     spark = _spark(args, "smis-build")
     df = read_transcripts(spark, args.input)
+    if args.set_fields:
+        # reference forced header overrides (MorphlineMapRunner.java:84-93)
+        overrides = dict(kv.split("=", 1) for kv in args.set_fields)
+        df = apply_field_overrides(df, overrides)
     if args.dry_run:
         # reference --dry-run: run the ETL in-process and print documents
         # instead of indexing (MorphlineEnabledIndexerTool.java:186-200).
@@ -105,9 +110,24 @@ def cmd_compact(args) -> int:
     from .index.merge import compact_final
 
     spark = _spark(args, "smis-compact")
-    m = compact_final(spark, args.index_dir)
+    m = compact_final(spark, args.index_dir, max_segments=args.max_segments)
     print(json.dumps({"index_dir": args.index_dir,
                       "final_path": m["levels"][-1]["path"]}))
+    return 0
+
+
+def cmd_publish(args) -> int:
+    from .index.manifest import publish_index
+
+    if args.validate:
+        from .index.validate import validate_index
+        spark = _spark(args, "smis-publish")
+        report = validate_index(spark, args.index_dir)
+        if not report["ok"]:
+            print(json.dumps({"published": False, "validation": report}))
+            return 1
+    out = publish_index(args.index_dir, args.serving_dir)
+    print(json.dumps({"published": True} | out))
     return 0
 
 
@@ -159,8 +179,14 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--max-segments", type=int, default=1)
     b.add_argument("--conflict-resolver", default="retain_most_recent",
                    choices=["retain_most_recent", "sort_updates", "reject",
-                            "no_change"])
+                            "reject_conflicts", "no_change"])
     b.add_argument("--order-by-field", default="ts")
+    b.add_argument("--compression", default="zstd",
+                   help="parquet codec for segments/docmap (zstd/snappy/none)")
+    b.add_argument("--set", action="append", default=[], dest="set_fields",
+                   metavar="FIELD=VALUE",
+                   help="force a literal field value on every document "
+                        "(repeatable; reference forced header overrides)")
     b.add_argument("--no-resume", action="store_true",
                    help="ignore existing checkpoints; rebuild from scratch")
     b.add_argument("--dry-run", action="store_true")
@@ -175,8 +201,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="forceMerge analog: defragment blocks")
     c.add_argument("--index-dir", required=True)
+    c.add_argument("--max-segments", type=int, default=None,
+                   help="target files per shard (default: the index config's "
+                        "max_segments, itself defaulting to 1)")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("publish", help="go-live analog: atomic snapshot swap "
+                                       "into a serving directory")
+    g.add_argument("--index-dir", required=True)
+    g.add_argument("--serving-dir", required=True)
+    g.add_argument("--validate", action="store_true",
+                   help="run read-back validation before publishing")
+    _add_spark_args(g)
+    g.set_defaults(fn=cmd_publish)
 
     q = sub.add_parser("query", help="top-k BM25 over a built index")
     q.add_argument("--index-dir", required=True)

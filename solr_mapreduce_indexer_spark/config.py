@@ -23,6 +23,10 @@ class IndexConfig:
                                    # (--max-segments, default 1)
 
     # --- posting layout ---
+    compression: str = "zstd"      # parquet codec for segments/docmap (the
+                                   # reference's zip-output claims ~1/5 size,
+                                   # SolrOutputFormat.java:126-133; zstd gives
+                                   # a similar ratio with cheap decode)
     block_size: int = 128          # postings per compressed block (Lucene-style)
     doc_bits: int = 40             # doc_id = (shard_id << doc_bits) | local_idx
     chunk_bits: int = 18           # retained for manifest compat; the fused

@@ -108,12 +108,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint_md5"))
 
 
-def winnow_fingerprint(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", w: int = 5,
-                       cfg: IndexConfig | None = None) -> DataFrame:
-    """Rolling-window (winnowing-style) 64-bit fingerprint: min/max of
-    xxhash64 over all w-token shingles — robust to small edits, entirely
-    JVM-side (no Python). Engine-only (xxhash64 has no DuckDB twin)."""
+def shingle_minmax64(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", w: int = 5,
+                     cfg: IndexConfig | None = None) -> DataFrame:
+    """Global min/max of xxhash64 over all w-token shingles — a cheap
+    edit-robust signature (NOT winnowing: no sliding-window selection; see
+    winnow_fingerprints for the real algorithm). Entirely JVM-side."""
     cfg = cfg or IndexConfig()
     toks = tokenize_col(text_col, cfg)
     n = F.size(toks)
@@ -126,3 +126,57 @@ def winnow_fingerprint(df: DataFrame, text_col: str = "text",
         F.when(n > 0, F.array_max(shingle_hashes)).alias("winnow_max64"),
         n.cast("long").alias("n_tokens"),
     )
+
+
+# Backwards-compatible alias for the round-1 name.
+winnow_fingerprint = shingle_minmax64
+
+
+def md5_int(col, nchars: int):
+    """Deterministic (4·nchars)-bit hash from the first nchars hex chars of
+    md5 — chosen because BOTH Spark and DuckDB can compute it bit-identically
+    (DuckDB twin: fold hex digits with list_reduce), unlike xxhash64.
+    nchars ≤ 15 keeps it comfortably inside a signed 64-bit int."""
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("long")
+
+
+def md5_60(col):
+    """60-bit md5-derived hash (see md5_int)."""
+    return md5_int(col, 15)
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3, w: int = 4,
+                        cfg: IndexConfig | None = None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every k-token shingle, slide a window of w consecutive
+    hashes, and in each window select the minimum hash (rightmost occurrence
+    on ties). The distinct selected (position, hash) pairs are the
+    fingerprint — guaranteed to share a selection with any other document
+    containing a common run of at least w + k - 1 tokens.
+
+    Output: (id_col, pos, fp) — pos is the 1-based shingle position of each
+    selected hash. All JVM-side expressions; the hash is md5-derived so the
+    DuckDB oracle replays it exactly."""
+    cfg = cfg or IndexConfig()
+    toks = tokenize_col(text_col, cfg)
+    n = F.size(toks)
+    hs = (F.when(n >= k, F.transform(
+              F.sequence(F.lit(1), n - k + 1),
+              lambda i: md5_60(F.array_join(F.slice(toks, i, k), " "))))
+           .otherwise(F.array(md5_60(F.array_join(toks, " ")))))
+    base = df.select(F.col(id_col), hs.alias("hs"))
+    m = F.size("hs")
+
+    def _sel(j):
+        sl = F.slice("hs", j, w)
+        # global position of the rightmost minimum within window j
+        pos = (j + F.size(sl)
+               - F.array_position(F.reverse(sl), F.array_min(sl))).cast("int")
+        return F.struct(pos.alias("pos"), F.array_min(sl).alias("fp"))
+
+    sels = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))), _sel))
+    return (base.select(F.col(id_col), F.explode(sels).alias("s"))
+                .select(id_col, F.col("s.pos").alias("pos"),
+                        F.col("s.fp").alias("fp")))

@@ -223,6 +223,20 @@ def segment_metrics(spark: SparkSession, segments_path: str) -> list[dict]:
                 sid = int(entry.name.split("=", 1)[1])
                 sizes[sid] = sum(f.stat().st_size for f in os.scandir(entry.path)
                                  if f.is_file() and not f.name.startswith("."))
+    else:
+        # non-local path (HDFS/S3 under spark-submit): Hadoop FileSystem
+        # listing — still metadata-only, never reads payload bytes
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(segments_path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("shard_id="):
+                    sid = int(name.split("=", 1)[1])
+                    sizes[sid] = int(fs.getContentSummary(st.getPath()).getLength())
+        except Exception:  # noqa: BLE001 — metrics must never fail a build
+            pass
     return [r.asDict() | {"payload_bytes": sizes.get(r["shard_id"], -1)}
             for r in rows]
 
@@ -260,7 +274,8 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
         t0 = time.time()
         (docmap_cols(get_docs(), cfg)
           .repartition(partitions, "shard_id")
-          .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
+          .write.mode("overwrite").option("compression", cfg.compression)
+          .partitionBy("shard_id").parquet(docmap_path))
         # stats from the written docmap: a column-pruned doc_len scan
         agg = (spark.read.parquet(docmap_path)
                .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -281,8 +296,8 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
         t0 = time.time()
         postings = build_postings(get_docs(), cfg, stats["avgdl"], partitions)
         (postings.sortWithinPartitions("term", "first_doc")
-                 .write.mode("overwrite").partitionBy("shard_id")
-                 .parquet(level0_path))
+                 .write.mode("overwrite").option("compression", cfg.compression)
+                 .partitionBy("shard_id").parquet(level0_path))
         mf.write_checkpoint(index_dir, "level_0", {
             "path": level0_path, "n_shards": partitions,
             "wall_s": round(time.time() - t0, 2),

@@ -88,3 +88,49 @@ def read_manifest(index_dir: str) -> dict[str, Any]:
         m = json.load(f)
     m["levels"] = [_rebase(index_dir, lv) for lv in m.get("levels", [])]
     return m
+
+
+def publish_index(index_dir: str, serving_dir: str) -> dict[str, Any]:
+    """Go-live analog (reference GoLiveTool.java:63-192): atomically move a
+    committed index into a serving location.
+
+    Layout: serving_dir/snapshots/snap_NNNNNN holds immutable snapshots
+    (hardlink trees of the built index — cheap and copy-free on one
+    filesystem, falling back to copies across devices); serving_dir/current
+    is a symlink to the live snapshot, swapped with an atomic rename so
+    readers always see a complete index. Old snapshots are kept for rollback
+    (callers prune). Requires a committed manifest — publishing a half-built
+    dir fails up front, mirroring the reference's go-live-after-job-success
+    gate."""
+    import shutil
+
+    manifest = read_manifest(index_dir)  # raises if not committed
+    snaps = os.path.join(serving_dir, "snapshots")
+    os.makedirs(snaps, exist_ok=True)
+    n = sum(1 for e in os.scandir(snaps) if e.name.startswith("snap_"))
+    name = f"snap_{n:06d}"
+    dst = os.path.join(snaps, name)
+
+    def _link_or_copy(src: str, d: str) -> None:
+        try:
+            os.link(src, d)
+        except OSError:
+            shutil.copy2(src, d)
+
+    tmp = dst + ".inprogress"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(index_dir, tmp, copy_function=_link_or_copy)
+    if os.path.isdir(dst):  # rerun of the same publish: snapshot already live
+        shutil.rmtree(tmp)
+    else:
+        os.replace(tmp, dst)
+    # atomic symlink swap: create-then-rename (rename of a symlink is atomic)
+    current = os.path.join(serving_dir, "current")
+    tmp_link = os.path.join(serving_dir, f".current.{os.getpid()}.tmp")
+    if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.join("snapshots", name), tmp_link)
+    os.replace(tmp_link, current)
+    return {"serving": current, "snapshot": dst,
+            "shards": manifest["shards"],
+            "n_docs": manifest["stats"]["n_docs"]}

@@ -34,7 +34,8 @@ def level_path(index_dir: str, level: int) -> str:
 
 
 def merge_level(spark: SparkSession, index_dir: str, level: int,
-                fanout: int, n_shards_in: int) -> tuple[str, int]:
+                fanout: int, n_shards_in: int,
+                compression: str = "zstd") -> tuple[str, int]:
     """One tree-merge iteration: level → level+1, shard_id //= fanout."""
     src = spark.read.parquet(level_path(index_dir, level))
     n_out = -(-n_shards_in // fanout)
@@ -48,7 +49,8 @@ def merge_level(spark: SparkSession, index_dir: str, level: int,
                     (F.col("shard_id") / fanout).cast("int"))
         .repartition(n_tasks, "shard_id", "term")
         .sortWithinPartitions("term", "first_doc")
-        .write.mode("overwrite").partitionBy("shard_id").parquet(dst_path))
+        .write.mode("overwrite").option("compression", compression)
+        .partitionBy("shard_id").parquet(dst_path))
     return dst_path, n_out
 
 
@@ -80,16 +82,29 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float):
 
 def compact_level(spark: SparkSession, index_dir: str, level: int,
                   cfg: IndexConfig, avgdl: float, n_shards: int) -> str:
-    """forceMerge analog: rewrite a level so every (shard, term) posting list
-    uses full blocks (fragmentation from chunked encoding / tree merge gone)."""
+    """forceMerge(maxSegments) analog: rewrite a level so every (shard, term)
+    posting list uses full blocks (fragmentation from chunked encoding / tree
+    merge gone), leaving at most cfg.max_segments files per shard directory
+    (reference --max-segments, default 1,
+    MapReduceIndexerToolArgumentParser.java:269-283; BatchWriter.java:205-208).
+
+    max_segments > 1 trades file count for write parallelism: each shard's
+    rows are salted into max_segments groups by term hash (a term's blocks
+    stay within one file), so a shard is written by up to max_segments tasks."""
     from .build import POSTINGS_SCHEMA
     src = spark.read.parquet(level_path(index_dir, level))
     dst = level_path(index_dir, level) + "_compact"
-    (src.groupBy("shard_id", "term")
-        .applyInPandas(_compact_mapper(cfg, avgdl), schema=POSTINGS_SCHEMA)
-        .repartition(n_shards, "shard_id")
-        .sortWithinPartitions("term", "first_doc")
-        .write.mode("overwrite").partitionBy("shard_id").parquet(dst))
+    m = max(1, int(cfg.max_segments))
+    out = (src.groupBy("shard_id", "term")
+           .applyInPandas(_compact_mapper(cfg, avgdl), schema=POSTINGS_SCHEMA))
+    if m == 1:
+        out = out.repartition(n_shards, "shard_id")
+    else:
+        out = out.repartition(n_shards * m, F.col("shard_id"),
+                              F.pmod(F.xxhash64("term"), F.lit(m)))
+    (out.sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite").option("compression", cfg.compression)
+        .partitionBy("shard_id").parquet(dst))
     return dst
 
 
@@ -129,7 +144,8 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         if ck is None:
             import time
             t0 = time.time()
-            path, cur = merge_level(spark, index_dir, it - 1, fanout, cur)
+            path, cur = merge_level(spark, index_dir, it - 1, fanout, cur,
+                                    compression=cfg.compression)
             segs = (segment_metrics(spark, path) if it == n_iters
                     else rollup_metrics(prev_segments, fanout))
             mf.write_checkpoint(index_dir, phase, {
@@ -145,17 +161,23 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     return levels
 
 
-def compact_final(spark: SparkSession, index_dir: str) -> dict:
+def compact_final(spark: SparkSession, index_dir: str,
+                  max_segments: int | None = None) -> dict:
     """forceMerge(maxSegments) analog as a standalone pass: rewrite the final
-    level so every (shard, term) posting list uses full-size blocks, then
-    recommit the manifest pointing at the compacted level
-    (TreeMergeOutputFormat.java:170-183)."""
+    level so every (shard, term) posting list uses full-size blocks in at
+    most max_segments files per shard, then recommit the manifest pointing at
+    the compacted level (TreeMergeOutputFormat.java:170-183). max_segments
+    overrides the index config's value when given."""
+    import dataclasses
+
     from ..config import IndexConfig
     from .build import segment_metrics
 
     m = mf.read_manifest(index_dir)
     cfg = IndexConfig(**{k: (tuple(v) if k == "stopwords" else v)
                          for k, v in m["config"].items()})
+    if max_segments is not None:
+        cfg = dataclasses.replace(cfg, max_segments=int(max_segments))
     final = m["levels"][-1]
     if final.get("compacted"):
         return m
@@ -164,5 +186,5 @@ def compact_final(spark: SparkSession, index_dir: str) -> dict:
                          float(m["stats"]["avgdl"]), int(final["n_shards"]))
     levels = m["levels"][:-1] + [dict(final, path=path, compacted=True,
                                       segments=segment_metrics(spark, path))]
-    return mf.write_manifest(index_dir, m["config"], m["stats"], levels,
-                             m["input"])
+    return mf.write_manifest(index_dir, dataclasses.asdict(cfg), m["stats"],
+                             levels, m["input"])

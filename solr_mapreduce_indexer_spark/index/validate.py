@@ -68,6 +68,23 @@ def _check_kernel(avgdl: float, k1: float, b: float):
     return check
 
 
+def _doc_len_kernel():
+    """Per-(shard, term) posting decode → (doc_id, tf) rows; summing tf per
+    doc across all terms reproduces the Python-tokenizer token count, which
+    must equal the JVM-tokenizer doc_len stored in the docmap."""
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs, tfs = [], []
+        for r in pdf.itertuples(index=False):
+            d, tf, _dl = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
+                                      r.first_doc)
+            docs.append(d)
+            tfs.append(tf)
+        return pd.DataFrame({"doc_id": np.concatenate(docs),
+                             "dl": np.concatenate(tfs)})
+
+    return per_doc
+
+
 def validate_index(spark: SparkSession, index_dir: str,
                    sample_terms: int | None = None) -> dict:
     """Full read-back validation; returns a JSON-able report with ok=True/False."""
@@ -99,9 +116,14 @@ def validate_index(spark: SparkSession, index_dir: str,
     stats = spark.read.parquet(f"{index_dir}/term_stats")
     agg = per_term.groupBy("term").agg(F.sum("n_postings").alias("df2"),
                                        F.sum("sum_tf").alias("cf2"))
+    # Null-safe comparison: a term present on only ONE side (all blocks lost,
+    # or an orphan term in postings) makes != return NULL and a plain filter
+    # would silently drop exactly the whole-term-loss rows this join exists
+    # to catch.
     mismatches = 0 if sample_terms else (
         stats.join(agg, "term", "full")
-        .where((F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2")))
+        .where(~F.col("df").eqNullSafe(F.col("df2"))
+               | ~F.col("cf").eqNullSafe(F.col("cf2")))
         .count())
 
     docmap = spark.read.parquet(f"{index_dir}/docmap")
@@ -110,11 +132,31 @@ def validate_index(spark: SparkSession, index_dir: str,
     stats_ok = (int(dm["n"]) == int(m["stats"]["n_docs"])
                 and abs(float(dm["avgdl"]) - avgdl) < 1e-9)
 
+    # Tokenizer-dialect drift check: postings tokenize in Python
+    # (tokenize_pandas in the shard kernel) while docmap doc_len uses the JVM
+    # regexp — if the two dialects ever diverge (custom token_pattern,
+    # non-ASCII lowercasing), BM25 norms silently skew vs avgdl. Cross-check
+    # Σtf per doc from decoded postings against the docmap doc_len.
+    dl_mismatches = -1
+    if not sample_terms:
+        per_doc = (blocks.groupBy("shard_id", "term")
+                   .applyInPandas(_doc_len_kernel(),
+                                  schema="doc_id long, dl long")
+                   .groupBy("doc_id").agg(F.sum("dl").alias("dl_postings")))
+        # zero-length docs legitimately have no postings → coalesce to 0
+        dl_mismatches = (docmap.select("doc_id", "doc_len")
+                         .join(per_doc, "doc_id", "full")
+                         .where(~F.col("doc_len").eqNullSafe(
+                             F.coalesce(F.col("dl_postings"), F.lit(0))))
+                         .count())
+
     n_terms_checked = per_term.count()
     per_term.unpersist()
-    ok = n_block_errors == 0 and mismatches == 0 and stats_ok
+    ok = (n_block_errors == 0 and mismatches == 0 and stats_ok
+          and dl_mismatches <= 0)
     return {"ok": bool(ok),
             "n_terms_checked": int(n_terms_checked),
             "n_block_errors": int(n_block_errors),
             "df_cf_mismatches": int(mismatches),
+            "doc_len_mismatches": int(dl_mismatches),
             "corpus_stats_ok": bool(stats_ok)}

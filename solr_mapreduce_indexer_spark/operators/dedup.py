@@ -60,14 +60,23 @@ def no_change(df: DataFrame) -> DataFrame:
 
 
 def reject_conflicts(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
-    """Assert key uniqueness; raise ConflictError listing offending keys.
-    Reference: dedup/RejectingUpdateConflictResolver.java:33-46."""
+    """Assert key uniqueness as part of the returned plan (lazy — the check
+    runs inside whatever job consumes the result, not as a hidden eager job
+    at plan-construction time). A duplicate key fails the job with a
+    'duplicate unique key' error naming the key, matching the reference's
+    per-document reject (dedup/RejectingUpdateConflictResolver.java:33-46).
+
+    The assert lives in a filter condition so Catalyst cannot prune it; the
+    key-count window shuffles by the same key the pipeline shuffles on
+    anyway, so no extra stage is added at scale."""
     keys = key_cols or KEY_COLS
-    dupes = (df.groupBy(*keys).count().where(F.col("count") > 1))
-    sample = dupes.limit(5).collect()
-    if sample:
-        raise ConflictError(f"duplicate unique keys (sample): {sample}")
-    return df
+    w = Window.partitionBy(*keys)
+    return (df.withColumn("_key_count", F.count(F.lit(1)).over(w))
+              .where(F.assert_true(
+                  F.col("_key_count") <= 1,
+                  F.concat(F.lit("duplicate unique key: "),
+                           F.concat_ws("#", *keys))).isNull())
+              .drop("_key_count"))
 
 
 def dedup_metrics(df: DataFrame, order_by: str = "ts",
@@ -90,3 +99,5 @@ RESOLVERS = {
     "no_change": lambda df, **_: no_change(df),
     "reject_conflicts": lambda df, order_by=None, key_cols=None: reject_conflicts(df, key_cols),
 }
+# CLI-facing alias (the argparse choice is 'reject'); both names resolve.
+RESOLVERS["reject"] = RESOLVERS["reject_conflicts"]

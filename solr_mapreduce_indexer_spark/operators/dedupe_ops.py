@@ -18,6 +18,8 @@ from ..config import IndexConfig
 from ..functions.analysis import tokenize_col
 
 MERSENNE = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1  # md5 hash family: exact 64-bit (a*h+b) % p math
+                            # on BOTH Spark-numpy and DuckDB-BIGINT sides
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -33,68 +35,124 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).cast("long").alias("n_copies")))
 
 
-def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+def _minhash_params(num_perm: int, seed: int = 42,
+                    hash_family: str = "xxhash64") -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64)
+    p = MERSENNE31 if hash_family == "md5" else MERSENNE
+    a = rng.integers(1, p, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, p, size=num_perm, dtype=np.int64)
     return a, b
+
+
+def _shingle_hash_expr(toks, shingle_w: int, hash_family: str):
+    """Array of w-token shingle hashes. xxhash64 (fast JVM path, default) or
+    md5-derived 28-bit (DuckDB-replayable: the oracle needs exact (a*h+b)%p
+    in 64-bit — 28-bit hashes × 31-bit constants never overflow)."""
+    from ..functions.textops import md5_int
+    if hash_family == "md5":
+        def h(col):
+            return md5_int(col, 7)
+    else:
+        h = F.xxhash64
+    n = F.size(toks)
+    return F.when(n >= shingle_w, F.transform(
+        F.sequence(F.lit(1), n - shingle_w + 1),
+        lambda i: h(F.array_join(F.slice(toks, i, shingle_w), " "))
+    )).otherwise(F.array(h(F.array_join(toks, " "))))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_w: int = 3,
                        num_perm: int = 64, seed: int = 42,
+                       hash_family: str = "xxhash64",
                        cfg: IndexConfig | None = None) -> DataFrame:
     """MinHash signature per doc over w-token shingles.
 
-    Shingle hashing is JVM-side xxhash64; the permutation mins are one
-    vectorized pandas UDF over the shingle-hash array ((a*h+b) mod p, min per
+    Shingle hashing is JVM-side (xxhash64, or md5-derived for the
+    DuckDB-replayable 'md5' family); the permutation mins are one vectorized
+    pandas UDF over the shingle-hash array ((a*h+b) mod p, min per
     permutation) — O(shingles × perms) numpy matrix op per batch."""
     cfg = cfg or IndexConfig()
-    a, b = _minhash_params(num_perm, seed)
+    a, b = _minhash_params(num_perm, seed, hash_family)
     toks = tokenize_col(text_col, cfg)
-    n = F.size(toks)
-    shingles = F.when(n >= shingle_w, F.transform(
-        F.sequence(F.lit(1), n - shingle_w + 1),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, shingle_w), " "))
-    )).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+    shingles = _shingle_hash_expr(toks, shingle_w, hash_family)
 
-    @F.pandas_udf("array<long>")
-    def minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
+    if hash_family == "md5":
+        @F.pandas_udf("array<long>")
+        def minhash(hashes: pd.Series) -> pd.Series:
+            out = []
             for h in hashes:
-                hv = (np.asarray(h, dtype=np.int64).astype(np.uint64)
-                      % np.uint64(MERSENNE)).astype(np.int64)
+                hv = np.asarray(h, dtype=np.int64)  # < 2^28, non-negative
                 if len(hv) == 0:
                     out.append(np.zeros(num_perm, dtype=np.int64))
                     continue
-                # (num_perm, n_shingles) via broadcasting, mod-min per row
-                m = ((a[:, None].astype(np.uint64) * hv[None, :].astype(np.uint64)
-                      + b[:, None].astype(np.uint64)) % np.uint64(MERSENNE))
-                out.append(m.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+                # exact int64 math (< 2^59); identical in DuckDB BIGINT
+                m = (a[:, None] * hv[None, :] + b[:, None]) % MERSENNE31
+                out.append(m.min(axis=1))
+            return pd.Series(out)
+    else:
+        @F.pandas_udf("array<long>")
+        def minhash(hashes: pd.Series) -> pd.Series:
+            out = []
+            with np.errstate(over="ignore"):
+                for h in hashes:
+                    hv = (np.asarray(h, dtype=np.int64).astype(np.uint64)
+                          % np.uint64(MERSENNE)).astype(np.int64)
+                    if len(hv) == 0:
+                        out.append(np.zeros(num_perm, dtype=np.int64))
+                        continue
+                    # (num_perm, n_shingles) via broadcasting, mod-min per row
+                    m = ((a[:, None].astype(np.uint64) * hv[None, :].astype(np.uint64)
+                          + b[:, None].astype(np.uint64)) % np.uint64(MERSENNE))
+                    out.append(m.min(axis=1).astype(np.int64))
+            return pd.Series(out)
 
     return df.select(F.col(id_col), minhash(shingles).alias("sig"))
+
+
+def _cap_buckets(banded: DataFrame, keys: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate LSH buckets (size > cap) before the self-join.
+
+    A corpus with m mass-duplicated docs puts all m in one bucket in EVERY
+    band → O(m²) join rows per band; at 100 TB that single hot bucket is the
+    job. Capping bounds the join at cap² per bucket. The dropped pairs are
+    exact/near-exact duplicate cliques — the standard pipeline removes those
+    with exact_dedup first (capping is the common practice trade, e.g.
+    Spark MLlib's MinHashLSH leaves it to the caller entirely)."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    ok = sizes.where(F.col("_bsz") <= max_bucket_size).select(*keys)
+    return banded.join(ok, keys)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_w: int = 3,
                       num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.5, seed: int = 42,
+                      max_bucket_size: int | None = 5000,
+                      hash_family: str = "xxhash64",
                       cfg: IndexConfig | None = None) -> DataFrame:
     """Near-dup pairs: band the signatures, bucket-join, verify estimated
-    Jaccard (fraction of agreeing permutations) ≥ threshold."""
+    Jaccard (fraction of agreeing permutations) ≥ threshold. Buckets larger
+    than max_bucket_size are dropped (see _cap_buckets). hash_family='md5'
+    makes the whole pipeline DuckDB-replayable (driver oracle)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, shingle_w, num_perm,
-                              seed, cfg)
-    banded = sigs.select(
-        F.col(id_col), "sig",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bi: F.xxhash64(F.array_join(
-                F.transform(F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string")), ",")))).alias("band", "bucket"))
+                              seed, hash_family, cfg)
+    band_str = F.array_join(
+        F.transform(F.slice("sig", F.col("band") * rows_per_band + 1,
+                            rows_per_band),
+                    lambda v: v.cast("string")), ",")
+    banded = (sigs.select(F.col(id_col), "sig",
+                          F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+                           .alias("band"))
+              .withColumn("bucket",
+                          band_str if hash_family == "md5"
+                          else F.xxhash64(band_str)))
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
                          "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
@@ -110,11 +168,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64, cfg: IndexConfig | None = None) -> DataFrame:
-    """64-bit SimHash over tf-weighted token hashes (vectorized kernel)."""
+            bits: int = 64, hash_family: str = "xxhash64",
+            cfg: IndexConfig | None = None) -> DataFrame:
+    """SimHash over tf-weighted token hashes (vectorized kernel). The 'md5'
+    family uses 60-bit md5-derived token hashes (pass bits=60) so DuckDB can
+    replay the signature bit-identically."""
     cfg = cfg or IndexConfig()
     toks = tokenize_col(text_col, cfg)
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_family == "md5":
+        from ..functions.textops import md5_60
+        tok_hashes = F.transform(toks, lambda t: md5_60(t))
+    else:
+        tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     @F.pandas_udf("long")
     def sim(hashes: pd.Series) -> pd.Series:
@@ -136,16 +201,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
+                       max_bucket_size: int | None = 5000,
+                       hash_family: str = "xxhash64",
                        cfg: IndexConfig | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: 4 bands of 16 bits (pigeonhole: hamming ≤ 3
-    ⇒ at least one band identical), bucket join, verify exact hamming."""
-    sh = simhash(df, text_col, id_col, cfg=cfg)
-    bands = 4
+    ⇒ at least one band identical), bucket join, verify exact hamming.
+    The 'md5' family uses 60-bit signatures in 4 bands of 15 bits (same
+    pigeonhole guarantee). Buckets larger than max_bucket_size are dropped
+    (see _cap_buckets)."""
+    bits = 60 if hash_family == "md5" else 64
+    sh = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family,
+                 cfg=cfg)
+    bands, width = 4, bits // 4
+    mask = (1 << width) - 1
     banded = sh.select(
         F.col(id_col), "simhash64",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash64", bi * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned("simhash64", bi * width).bitwiseAND(F.lit(mask))
             for bi in range(bands)])).alias("band", "bucket"))
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.select(F.col(id_col).alias("id_a"),
                          F.col("simhash64").alias("h_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"),
@@ -161,11 +235,20 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
+                        max_shingle_df: int | None = 100_000,
                         cfg: IndexConfig | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate generation by shared
     shingle (inverted shingle join — only pairs sharing ≥1 shingle are
     scored), then |A∩B| / (|A|+|B|-|A∩B|) computed relationally. This is the
-    exact counterpart the MinHash path approximates."""
+    exact counterpart the MinHash path approximates.
+
+    Shingles occurring in more than max_shingle_df docs are excluded from
+    candidate generation AND intersection counting (boilerplate shared by m
+    docs would otherwise yield m² join rows — standard near-dup practice,
+    cf. suffix-array dedup df-capping). Results are exact whenever no shared
+    shingle exceeds the cap; above it, jaccard is underestimated for pairs
+    whose overlap includes hot shingles, so set the cap well above the
+    largest legitimate near-dup clique."""
     cfg = cfg or IndexConfig()
     toks = tokenize_col(text_col, cfg)
     nn = F.size(toks)
@@ -177,6 +260,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = df.select(F.col(id_col), shingles.alias("sh"),
                    F.size(shingles).alias("card"))
     ex = sh.select(F.col(id_col), "card", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
+        ex = ex.join(gdf.where(F.col("_gdf") <= max_shingle_df).select("g"), "g")
     a = ex.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"), "g")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"), "g")
     inter = (a.join(b, "g").where(F.col("id_a") < F.col("id_b"))

@@ -116,10 +116,44 @@ def synth_transcripts(spark: SparkSession, **kw) -> DataFrame:
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Iceberg if configured, else parquet. One entry point per SURVEY §7.0."""
+    """One entry point per SURVEY §7.0; format by path prefix.
+
+    The reference ingests Avro/CSV/JSON/SequenceFile/… through pluggable
+    morphline decoders (MapReduceIndexerToolArgumentParser.java:74-86); here
+    the analog is Spark's built-in readers, all normalized to
+    TRANSCRIPT_SCHEMA:
+
+      iceberg:<table>   Iceberg catalog table
+      csv:<path>        header CSV
+      json:<path>       JSON lines
+      avro:<path>       Avro (needs the spark-avro package on the cluster)
+      <path>            parquet (default)
+    """
     if path.startswith("iceberg:"):
         return spark.read.format("iceberg").load(path[len("iceberg:"):])
+    if path.startswith("csv:"):
+        return (spark.read.schema(TRANSCRIPT_SCHEMA)
+                .option("header", "true").csv(path[len("csv:"):]))
+    if path.startswith("json:"):
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path[len("json:"):])
+    if path.startswith("avro:"):
+        return (spark.read.format("avro").schema(TRANSCRIPT_SCHEMA)
+                .load(path[len("avro:"):]))
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def apply_field_overrides(df: DataFrame, overrides: dict[str, str]) -> DataFrame:
+    """Force literal field values onto every document before indexing — the
+    reference's forced header overrides (MorphlineMapRunner.java:84-93, the
+    MAPPER-generated fields each mapper stamps on every record). Values are
+    cast to the column's existing type when the column already exists."""
+    for field, value in overrides.items():
+        if field in df.columns:
+            df = df.withColumn(
+                field, F.lit(value).cast(df.schema[field].dataType))
+        else:
+            df = df.withColumn(field, F.lit(value))
+    return df
 
 
 # SQL-expressible derivation of a transcripts table from the driver's

@@ -90,7 +90,8 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
 
     docs = _prepare_gen_docs(df, cfg, gen).persist()
     (docmap_cols(docs, cfg).repartition(cfg.shards, "shard_id")
-         .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
+         .write.mode("overwrite").option("compression", cfg.compression)
+         .partitionBy("shard_id").parquet(docmap_path))
     agg = (spark.read.parquet(docmap_path)
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens")
@@ -106,10 +107,15 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     # recomputes bounds from (max_tf, min_dl) with the global avgdl.
     postings = build_postings(docs, cfg, avgdl_batch, cfg.shards)
     (postings.sortWithinPartitions("term", "first_doc")
-             .write.mode("overwrite").partitionBy("shard_id").parquet(seg_path))
+             .write.mode("overwrite").option("compression", cfg.compression)
+             .partitionBy("shard_id").parquet(seg_path))
     docs.unpersist()
 
-    payload = {"path": seg_path, "docmap": docmap_path, "gen": gen,
+    # NOTE: docmap path is NOT stored (manifest._relativize only rebases the
+    # 'path' key, so an absolute docmap path would break index relocation —
+    # an un-finalized streaming index copied elsewhere would read the old
+    # location); list_generations derives it from index_dir + gen instead.
+    payload = {"path": seg_path, "gen": gen,
                "n_docs": n_docs, "total_tokens": total_tokens,
                "lineage": {"mode": "stream_append", "generation": gen,
                            "routing": f"murmur3_x86_32 % S={cfg.shards}"}}
@@ -152,6 +158,9 @@ def list_generations(index_dir: str) -> list[dict]:
         ck = mf.read_checkpoint(index_dir, _gen_phase(g))
         if ck is None:
             break
+        # derive per-generation docmap location (relocation-safe: both the
+        # checkpoint 'path' and this are rooted at the current index_dir)
+        ck = dict(ck, docmap=os.path.join(index_dir, f"docmap_gen_{g}"))
         gens.append(ck)
         g += 1
     return gens
@@ -184,10 +193,17 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
                       [spark.read.parquet(p) for p in paths])
 
     # --- docmap union + duplicate-key audit ---------------------------------
+    # Rewrite shard_id as the doc_id-embedded micro-shard (gen*S + shard) so
+    # the final docmap has the SAME partition layout as a batch build: the
+    # query side prunes docmap partitions by doc_id >> doc_bits
+    # (query/bm25.py run_queries), which must match the partition column.
     docmap_path = os.path.join(index_dir, "docmap")
-    dm = _union_reads([g["docmap"] for g in gens])
+    dm = (_union_reads([g["docmap"] for g in gens])
+          .withColumn("shard_id",
+                      F.shiftright("doc_id", cfg.doc_bits).cast("int")))
     (dm.repartition(cfg.shards, "shard_id")
-       .write.mode("overwrite").partitionBy("shard_id").parquet(docmap_path))
+       .write.mode("overwrite").option("compression", cfg.compression)
+       .partitionBy("shard_id").parquet(docmap_path))
     dup_keys = (spark.read.parquet(docmap_path)
                 .groupBy("conv_id", "turn_idx").count()
                 .where(F.col("count") > 1).count())
@@ -204,7 +220,8 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     (blocks.withColumn("max_tfnorm", bound)
            .repartition(cfg.shards, "shard_id")
            .sortWithinPartitions("term", "first_doc")
-           .write.mode("overwrite").partitionBy("shard_id").parquet(level_path))
+           .write.mode("overwrite").option("compression", cfg.compression)
+           .partitionBy("shard_id").parquet(level_path))
 
     # --- term stats from block metadata (column-pruned scan) ----------------
     term_stats_path = os.path.join(index_dir, "term_stats")

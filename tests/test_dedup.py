@@ -52,11 +52,14 @@ def test_sort_updates_keeps_all_ordered(spark, conflicts_df):
 
 
 def test_reject_conflicts_raises(spark, conflicts_df):
+    # the check is lazy (an assert inside the plan, not a hidden eager job):
+    # constructing the plan succeeds, executing it fails on a duplicate key
     df, _ = conflicts_df
-    with pytest.raises(ConflictError):
-        reject_conflicts(df)
+    plan = reject_conflicts(df)
+    with pytest.raises(Exception, match="duplicate unique key"):
+        plan.count()
     clean = retain_most_recent(df)
-    assert reject_conflicts(clean) is clean
+    assert reject_conflicts(clean).count() == clean.count()
 
 
 def test_no_change_passthrough(spark, conflicts_df):
