@@ -98,8 +98,17 @@ def bench_run(spark, sf_dir: str, n_turns: int | None = None,
     tr = spark.read.parquet(src_path)
     n_rows = tr.count()
 
-    # --- index build (turns indexed / sec) ---------------------------------
+    # --- warm-up (untimed): JIT, heap first-touch, python worker pool -------
+    # This sandbox's cold JVM shows minutes-scale nondeterministic warm-up
+    # (see BENCH.md); steady-state throughput is the metric. One small build
+    # + query batch exercises every code path before the clocks start.
     cfg = IndexConfig(shards=4, reducers=16, fanout=2)
+    warm_dir = os.path.join(work_dir, "warm_idx")
+    warm = tr.where(F.abs(F.xxhash64("conv_id")) % 10 == 0)
+    build_index(spark, warm, cfg, warm_dir, input_path=src_path, resume=False)
+    run_queries(spark, load_index(warm_dir), make_queries(16)).count()
+
+    # --- index build (turns indexed / sec) ---------------------------------
     idx_dir = os.path.join(work_dir, "idx")
     t0 = time.time()
     build_index(spark, tr, cfg, idx_dir, input_path=src_path, resume=False)

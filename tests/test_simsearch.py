@@ -51,3 +51,27 @@ def test_ivf_recall(spark, emb, qvec):
     # full probe == exact
     allprobe = ivf_topk(assigned, cents, qvec, k=10, nprobe=8).toPandas()["vec_id"].tolist()
     assert allprobe == exact
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, emb, qvec, tmp_path):
+    """The persisted IVF index must answer probes by PARTITION PRUNING: the
+    probe plan's parquet scan carries PartitionFilters on `centroid`, so only
+    nprobe/K of the files are read at 100 TB."""
+    from solr_mapreduce_indexer_spark.operators.simsearch import (
+        build_ivf_index, load_ivf_index)
+
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(spark, emb, path, n_centroids=8, iters=3)
+    vecs, cents2 = load_ivf_index(spark, path)
+    np.testing.assert_allclose(cents, cents2)
+
+    probe = ivf_topk(vecs, cents2, qvec, k=10, nprobe=8)
+    # nprobe = K → identical to exact brute force
+    exact = cosine_topk(emb, qvec, k=10).toPandas()["vec_id"].tolist()
+    assert probe.toPandas()["vec_id"].tolist() == exact
+
+    # plan audit: the filter must reach the scan as a partition filter
+    plan = ivf_topk(vecs, cents2, qvec, k=10, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid" in plan.split(
+        "PartitionFilters")[1][:200]

@@ -43,11 +43,11 @@ spark = get_spark(app=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=64, driver_memory="16g")
 tr = spark.read.parquet({src!r})
 n = tr.count()
-cfg = IndexConfig(shards=8, reducers=64, fanout=8)
+cfg = IndexConfig(shards={shards}, reducers={reducers}, fanout={fanout})
 idx = {idx!r}
 sys.path.insert(0, os.path.join({repo!r}))
 from bench import make_queries
-qs = make_queries(64)
+qs = make_queries(256)
 
 # --- warm-up: JIT + heap first-touch + python worker pool + page cache ---
 # (steady-state throughput is the metric; a cold JVM's first ~2 minutes are
@@ -86,7 +86,7 @@ for fn in sorted(os.listdir(ckdir)):
         phases[p["phase"]] = p["wall_s"]
 print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n,
     "build_s": round(build_s, 2), "turns_per_sec": round(n / build_s, 1),
-    "query_s": round(query_s, 2), "bm25_qps": round(64 / query_s, 1),
+    "query_s": round(query_s, 2), "bm25_qps": round(len(qs) / query_s, 1),
     "phases": phases}}))
 """
 
@@ -123,10 +123,12 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2) -> dict:
             "cpu_scaling_efficiency": round((out[hi] / out[lo]) / (hi / lo), 3)}
 
 
-def run_level(cpus: int, src: str, work: str) -> dict:
+def run_level(cpus: int, src: str, work: str, shards: int = 8,
+              reducers: int = 64, fanout: int = 8) -> dict:
     idx = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
-    code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx)
+    code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx,
+                         shards=shards, reducers=reducers, fanout=fanout)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -139,6 +141,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=1_000_000)
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--shards", type=int, default=8,
+                    help="final shard count S — also the query fan-out; "
+                         "provision >= the larger core count so query "
+                         "parallelism isn't capped below the cluster size")
+    ap.add_argument("--reducers", type=int, default=64)
+    ap.add_argument("--fanout", type=int, default=8)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -167,8 +175,8 @@ def main() -> None:
 
     lo, hi = sorted(args.levels)
     ceiling = cpu_ceiling(lo, hi)
-    r_lo = run_level(lo, src, work)
-    r_hi = run_level(hi, src, work)
+    r_lo = run_level(lo, src, work, args.shards, args.reducers, args.fanout)
+    r_hi = run_level(hi, src, work, args.shards, args.reducers, args.fanout)
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
     eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
