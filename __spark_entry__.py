@@ -5,10 +5,10 @@ entry(spark)    — flagship: build the inverted index over a transcripts table
 queries()       — one entry per implemented operator (SURVEY.md §2 + the
                   training-data pipeline extensions); each takes
                   (spark, sf_dir) and returns a DataFrame.
-oracle_sql()    — DuckDB-equivalent SQL per query (omitted for ops whose
-                  kernels are not SQL-expressible: murmur3 routing, MinHash/
-                  SimHash/LSH — those get the driver's rows-only check and
-                  are covered by pytest oracles instead).
+oracle_sql()    — DuckDB-equivalent SQL per query. EVERY query has one:
+                  the hash kernels (murmur3 routing, winnowing, MinHash/
+                  SimHash) are replayed bit-identically by generated SQL
+                  (functions/oracle_sql.py), so no rows-only entries remain.
 
 Column names and rounding are aligned on both sides so the driver's
 order-insensitive value-hash comparison holds.
@@ -61,7 +61,7 @@ def _entry_index(spark: SparkSession, sf_dir: str):
         return _INDEX_CACHE[key]
     cfg = IndexConfig(shards=2, reducers=8, fanout=2)
     idx_dir = os.path.join(
-        "/tmp", f"smis_entry_idx_v2_{os.path.basename(key.rstrip('/'))}")
+        "/tmp", f"smis_entry_idx_v3_{os.path.basename(key.rstrip('/'))}")
     tr = transcripts_from_documents(spark, sf_dir)
     build_index(spark, tr, cfg, idx_dir, input_path=f"{sf_dir}/documents.parquet")
     h = load_index(idx_dir)

@@ -28,6 +28,11 @@ class IndexConfig:
                                    # SolrOutputFormat.java:126-133; zstd gives
                                    # a similar ratio with cheap decode)
     block_size: int = 128          # postings per compressed block (Lucene-style)
+    posting_codec: str = "for"     # posting value compression: "for" (bit-
+                                   # packed frame-of-reference; PForDelta's
+                                   # base scheme — 2.5-4x faster decode,
+                                   # smaller tf streams) or "varint" (LEB128).
+                                   # Payloads are tagged, so mixed indexes read fine.
     doc_bits: int = 40             # doc_id = (shard_id << doc_bits) | local_idx
     chunk_bits: int = 18           # retained for manifest compat; the fused
                                    # per-shard index kernel (build.py

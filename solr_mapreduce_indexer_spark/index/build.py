@@ -121,6 +121,7 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
     micro-shard's tokens (the same contract the reference's 16 GB reducers
     have, MorphlineEnabledIndexerTool.java:177-179 — size R accordingly)."""
     block_size, k1, b = cfg.block_size, cfg.k1, cfg.b
+    codec = cfg.posting_codec
 
     def build_shard(shard: int, doc_ids: list,
                     token_arrays: list) -> pd.DataFrame:
@@ -153,7 +154,8 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
         for s, e in zip(tstarts, tends):
             term = terms[cu[s]]
             for blk in encode_blocks(du[s:e], tf[s:e], dlu[s:e], avgdl,
-                                     block_size=block_size, k1=k1, b=b):
+                                     block_size=block_size, k1=k1, b=b,
+                                     codec=codec):
                 out.append((shard, term, blk["first_doc"], blk["last_doc"],
                             blk["n"], blk["max_tf"], blk["sum_tf"],
                             blk["min_dl"], blk["max_tfnorm"],

@@ -74,7 +74,7 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float):
                  b["max_tf"], b["sum_tf"], b["min_dl"], b["max_tfnorm"],
                  b["doc_bytes"], b["tf_bytes"], b["len_bytes"])
                 for b in encode_blocks(d, t, ln, avgdl, cfg.block_size,
-                                       cfg.k1, cfg.b)]
+                                       cfg.k1, cfg.b, cfg.posting_codec)]
         return pd.DataFrame(rows, columns=POSTINGS_COLS)
 
     return compact

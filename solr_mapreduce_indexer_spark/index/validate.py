@@ -38,8 +38,16 @@ def _check_kernel(avgdl: float, k1: float, b: float):
         n_postings = 0
         sum_tf = 0
         for r in pdf.itertuples(index=False):
-            d, tf, dl = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
-                                     r.first_doc)
+            try:
+                d, tf, dl = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
+                                         r.first_doc)
+            except Exception as e:  # noqa: BLE001 — corruption must be
+                errors.append(f"decode failed: {type(e).__name__}")  # reported,
+                continue                                             # not crash
+            if not (len(d) == len(tf) == len(dl)):
+                errors.append(f"stream length mismatch: "
+                              f"{len(d)}/{len(tf)}/{len(dl)}")
+                continue
             n_postings += len(d)
             sum_tf += int(tf.sum())
             if len(d) != r.n:
@@ -73,10 +81,15 @@ def _doc_len_kernel():
     doc across all terms reproduces the Python-tokenizer token count, which
     must equal the JVM-tokenizer doc_len stored in the docmap."""
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        docs, tfs = [], []
+        docs, tfs = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
         for r in pdf.itertuples(index=False):
-            d, tf, _dl = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
-                                      r.first_doc)
+            try:
+                d, tf, _dl = decode_block(r.doc_bytes, r.tf_bytes,
+                                          r.len_bytes, r.first_doc)
+            except Exception:  # noqa: BLE001 — undecodable blocks are
+                continue       # reported by _check_kernel, not here
+            if len(d) != len(tf):
+                continue
             docs.append(d)
             tfs.append(tf)
         return pd.DataFrame({"doc_id": np.concatenate(docs),

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video assets ride as `binary` columns with a metadata struct;
-decode / feature-extract / resize / frame-sample are mapInPandas stages with
-real Spark plumbing (schema, batch shape, partitioning) and a STUBBED decode
-kernel — the sandbox image ships no codec libraries, so the decoder is a
-deterministic fake behind `decoder=`; swap in PIL/ffmpeg on a real cluster.
+decode / feature-extract / resize / frame-sample are mapInPandas stages.
+The decode kernel is REAL for PNG images and WAV audio (pure stdlib + numpy
+codecs in operators/media_codecs.py — no PIL/ffmpeg needed); formats that
+require external codec libraries (JPEG/MP3/MP4) surface per-row
+decode_ok=False, or use `decoder=fake_decode` for a deterministic stand-in.
+Swap in a PIL/ffmpeg-backed decoder on a cluster that has them.
 """
 
 from __future__ import annotations
@@ -49,8 +51,14 @@ def fake_decode(payload: bytes, modality: str) -> np.ndarray:
                     dtype=np.float32)
 
 
+def default_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Real stdlib decode (PNG/WAV) via media_codecs.real_decode."""
+    from .media_codecs import real_decode
+    return real_decode(payload, modality)
+
+
 def extract_features(df: DataFrame,
-                     decoder: Callable[[bytes, str], np.ndarray] = fake_decode,
+                     decoder: Callable[[bytes, str], np.ndarray] = default_decode,
                      batch_hint: int = 1024) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. The plumbing is
     production-shaped: Arrow batches in, bounded memory (one batch of
@@ -92,13 +100,25 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table for tests."""
+    """Deterministic asset table for tests: REAL PNG images and WAV audio
+    (decodable by the stdlib codecs), opaque random bytes for video (which
+    exercises the decode_ok=False isolation path)."""
+    from .media_codecs import png_encode, wav_encode
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=64 + (i % 5) * 16,
-                               dtype=np.uint8).tobytes()
-        rows.append((i, modality, f"application/x-{modality}", payload,
-                     (64, 48, 5000, 16000)))
+        if modality == "image":
+            img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            payload, mime = png_encode(img), "image/png"
+        elif modality == "audio":
+            t = np.arange(1600)
+            wave_s = (8000 * np.sin(2 * np.pi * (220 + 20 * i) * t / 16000))
+            payload, mime = wav_encode(wave_s.astype(np.int16)), "audio/wav"
+        else:
+            payload = rng.integers(0, 256, size=64 + (i % 5) * 16,
+                                   dtype=np.uint8).tobytes()
+            mime = "video/mp4"
+        rows.append((i, modality, mime, payload, (16, 12, 5000, 16000)))
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)

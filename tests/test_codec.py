@@ -59,3 +59,52 @@ def test_block_roundtrip_and_blockmax_soundness(n):
     # postings strictly ascending across block boundaries
     alld = np.concatenate(got_d)
     assert (np.diff(alld) > 0).all()
+
+
+def test_for_codec_roundtrip():
+    import numpy as np
+    from solr_mapreduce_indexer_spark.index.codec import for_decode, for_encode
+
+    rng = np.random.default_rng(0)
+    for vals in (rng.geometric(0.02, 128).astype(np.uint64),
+                 rng.geometric(0.6, 128).astype(np.uint64),
+                 np.zeros(5, dtype=np.uint64),
+                 np.array([0], dtype=np.uint64),
+                 np.array([2**40 - 1, 0, 7], dtype=np.uint64),
+                 np.empty(0, dtype=np.uint64)):
+        got = for_decode(for_encode(vals))
+        assert (got == vals).all() and len(got) == len(vals)
+
+
+def test_tagged_payloads_mixed_codecs_decode():
+    """Blocks written with either codec (even mixed in one index) decode via
+    the same decode_block — the payload tag byte dispatches."""
+    import numpy as np
+    from solr_mapreduce_indexer_spark.index.codec import (
+        decode_block, encode_blocks)
+
+    rng = np.random.default_rng(1)
+    docs = np.cumsum(rng.integers(1, 50, 200))
+    tfs = rng.integers(1, 9, 200)
+    dls = rng.integers(5, 80, 200)
+    for codec in ("for", "varint"):
+        blocks = encode_blocks(docs, tfs, dls, 30.0, block_size=64,
+                               codec=codec)
+        out_d, out_t, out_l = [], [], []
+        for b in blocks:
+            d, t, dl = decode_block(b["doc_bytes"], b["tf_bytes"],
+                                    b["len_bytes"], b["first_doc"])
+            out_d.append(d); out_t.append(t); out_l.append(dl)
+        assert (np.concatenate(out_d) == docs).all()
+        assert (np.concatenate(out_t) == tfs).all()
+        assert (np.concatenate(out_l) == dls).all()
+
+
+def test_for_smaller_and_correct_on_typical_blocks():
+    import numpy as np
+    from solr_mapreduce_indexer_spark.index.codec import (
+        encode_values, varint_encode)
+
+    rng = np.random.default_rng(2)
+    tfs = rng.geometric(0.6, 128).astype(np.uint64)
+    assert len(encode_values(tfs, "for")) < len(varint_encode(tfs)) + 1

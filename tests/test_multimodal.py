@@ -11,15 +11,22 @@ def assets(spark):
     return synth_assets(spark, n=30)
 
 
-def test_extract_features_plumbing(spark, assets):
-    got = extract_features(assets).toPandas()
+def test_extract_features_real_codecs(spark, assets):
+    """PNG/WAV payloads decode for real (stdlib codecs); opaque video bytes
+    surface decode_ok=False per row instead of failing the task."""
+    got = extract_features(assets).toPandas().sort_values("asset_id")
     assert len(got) == 30
-    assert got["decode_ok"].all()
-    assert got["feature"].map(len).eq(8).all()
+    by_mod = got.groupby("modality")["decode_ok"].all()
+    assert by_mod["image"] and by_mod["audio"]
+    assert not got[got.modality == "video"]["decode_ok"].any()
+    assert got[got.modality == "image"]["feature"].map(len).eq(24).all()
+    assert got[got.modality == "audio"]["feature"].map(len).eq(11).all()
     # deterministic: same payload -> same feature regardless of partitioning
     again = extract_features(assets.repartition(5)).toPandas()
-    a = got.sort_values("asset_id")["feature"].map(tuple).tolist()
-    b = again.sort_values("asset_id")["feature"].map(tuple).tolist()
+    a = got.sort_values("asset_id")["feature"].map(
+        lambda v: None if v is None else tuple(v)).tolist()
+    b = again.sort_values("asset_id")["feature"].map(
+        lambda v: None if v is None else tuple(v)).tolist()
     assert a == b
 
 
@@ -28,7 +35,7 @@ def test_decode_failure_isolated(spark):
             (1, "image", "x", None, None)]
     from solr_mapreduce_indexer_spark.operators.multimodal import ASSET_SCHEMA
     df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
-    got = extract_features(df).orderBy("asset_id").toPandas()
+    got = extract_features(df, decoder=fake_decode).orderBy("asset_id").toPandas()
     assert got["decode_ok"].tolist() == [True, False]
     assert got["feature"].iloc[1] is None
 

@@ -148,10 +148,13 @@ def main() -> None:
     ap.add_argument("--reducers", type=int, default=64)
     ap.add_argument("--fanout", type=int, default=8)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--src", default=None,
+                    help="reuse an existing synthesized corpus dir "
+                         "(skips synthesis; --turns is ignored for sizing)")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="smis_scaling_")
-    src = os.path.join(work, "transcripts")
+    src = args.src or os.path.join(work, "transcripts")
 
     # synthesize once, reuse at both levels (identical input by construction);
     # chunked so the driver never materializes the whole corpus at once
@@ -159,19 +162,20 @@ def main() -> None:
     from solr_mapreduce_indexer_spark.session import get_spark
     from solr_mapreduce_indexer_spark.sources.transcripts import (
         TRANSCRIPT_SCHEMA, synth_transcripts_pandas)
-    spark = get_spark(app="scaling_synth", master="local[8]",
-                      shuffle_partitions=16, driver_memory="16g")
-    n_chunks = max(1, args.turns // 100_000)
-    convs_per_chunk = args.turns // 8 // n_chunks
-    for c in range(n_chunks):
-        pdf = synth_transcripts_pandas(n_convs=convs_per_chunk,
-                                       turns_per_conv=8, vocab_size=10_000,
-                                       seed=42 + c)
-        pdf["conv_id"] = pdf["conv_id"] + f"c{c}"
-        (spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
-              .repartition(8).write.mode("append").parquet(src))
-        del pdf
-    spark.stop()
+    if args.src is None:
+        spark = get_spark(app="scaling_synth", master="local[8]",
+                          shuffle_partitions=16, driver_memory="16g")
+        n_chunks = max(1, args.turns // 100_000)
+        convs_per_chunk = args.turns // 8 // n_chunks
+        for c in range(n_chunks):
+            pdf = synth_transcripts_pandas(n_convs=convs_per_chunk,
+                                           turns_per_conv=8, vocab_size=10_000,
+                                           seed=42 + c)
+            pdf["conv_id"] = pdf["conv_id"] + f"c{c}"
+            (spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+                  .repartition(8).write.mode("append").parquet(src))
+            del pdf
+        spark.stop()
 
     lo, hi = sorted(args.levels)
     ceiling = cpu_ceiling(lo, hi)
