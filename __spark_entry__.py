@@ -33,8 +33,8 @@ from solr_mapreduce_indexer_spark.functions.textops import (
     token_counts, winnow_fingerprints)
 from solr_mapreduce_indexer_spark.functions.routing import routing_pandas_udf
 from solr_mapreduce_indexer_spark.operators.dedupe_ops import (
-    _minhash_params, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
-    simhash_near_pairs)
+    _minhash_params, _rh_planes, embedding_near_pairs, exact_dedup,
+    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs)
 from solr_mapreduce_indexer_spark.operators.simsearch import _dot, _norm
 from solr_mapreduce_indexer_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_DOCUMENTS_SQL, transcripts_from_documents)
@@ -264,6 +264,37 @@ def q_simhash_pairs(spark, sf_dir):
                               hash_family="md5")
 
 
+EMB_DIM = 64  # driver testdata embeddings are 64-d at every sf
+
+
+def q_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via banded integer-quantized RH-LSH
+    (8 bands × 4 planes; exact integer bucket signs → full DuckDB oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = embedding_near_pairs(emb, threshold=0.4, n_planes=32, bands=8,
+                               seed=42, dim=EMB_DIM, quantize=1000)
+    return got.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN with nprobe=K (exhaustive probes): exercises
+    the centroid assignment + probe plumbing while staying exactly equal to
+    brute-force cosine — so the brute-force SQL is its oracle."""
+    from solr_mapreduce_indexer_spark.operators.simsearch import (
+        ivf_assign, ivf_topk, kmeans_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_centroids=8, iters=3)
+    assigned = ivf_assign(emb, cents)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    got = ivf_topk(assigned, cents, qv, k=10, nprobe=8)
+    w = Window.orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (got.withColumn("cosine_r", F.round("cosine", 4))
+               .withColumn("rank", F.row_number().over(w).cast("long"))
+               .select("rank", "vec_id", F.col("cosine_r").alias("cosine")))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 around vec_id=0, JVM-side math."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -308,7 +339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "embedding_pairs": q_embedding_pairs,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -450,6 +483,20 @@ def oracle_sql() -> dict[str, str]:
             a=_minhash_params(64, 42, "md5")[0],
             b=_minhash_params(64, 42, "md5")[1]),
         "simhash_pairs": OSQL.simhash_pairs_sql(TOKENIZE_SQL, max_hamming=3),
+        "embedding_pairs": OSQL.embedding_pairs_sql(
+            threshold=0.4, planes=_rh_planes(32, EMB_DIM, 42, 1000),
+            quantize=1000, bands=8),
+        "ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            sc AS (SELECT vec_id,
+                          list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+                          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) AS c
+                   FROM embeddings CROSS JOIN q)
+            SELECT row_number() OVER (ORDER BY round(c, 4) DESC, vec_id) AS rank,
+                   vec_id, round(c, 4) AS cosine
+            FROM sc ORDER BY rank LIMIT 10
+        """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             sc AS (SELECT vec_id,

@@ -169,6 +169,50 @@ def minhash_pairs_sql(tokenize_sql: str, shingle_w: int, num_perm: int,
     """
 
 
+def embedding_pairs_sql(threshold: float, planes, quantize: int,
+                        bands: int) -> str:
+    """Twin of operators/dedupe_ops.embedding_near_pairs(quantize=Q):
+    banded integer-quantized random-hyperplane LSH (signs are exact integer
+    dot products on both sides), any-band bucket join, float64 cosine
+    verify. `planes` is the integer plane matrix the Spark kernel uses
+    (embedded literally)."""
+    n_planes, dim = planes.shape
+    r = n_planes // bands
+    plane_lits = ["[" + ", ".join(str(int(x)) for x in p) + "]" for p in planes]
+    dot = ("list_sum(list_transform(range(1, {d} + 1), "
+           "__di -> qv[__di::INT] * {plane}[__di::INT]))")
+    band_exprs = []
+    for bi in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN {dot.format(d=dim, plane=plane_lits[bi * r + j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(r))
+        band_exprs.append(f"({terms})::INT")
+    buckets = "[" + ", ".join(band_exprs) + "]"
+    return f"""
+        WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> round(x * {quantize})::BIGINT) AS qv
+                   FROM embeddings),
+        sg AS (SELECT vec_id, v, {buckets} AS bks FROM q),
+        banded AS (SELECT vec_id, v, band, bks[band + 1] AS bucket
+                   FROM sg CROSS JOIN
+                     (SELECT unnest(range(0, {bands})) AS band) bx),
+        cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+                        l.v AS v_a, r.v AS v_b
+                 FROM banded l JOIN banded r
+                   ON l.band = r.band AND l.bucket = r.bucket
+                  AND l.vec_id < r.vec_id),
+        sc AS (SELECT id_a, id_b,
+                 list_dot_product(v_a, v_b)
+                   / (sqrt(list_dot_product(v_a, v_a))
+                      * sqrt(list_dot_product(v_b, v_b))) AS cosine
+               FROM cand)
+        SELECT id_a, id_b, round(cosine, 6) AS cosine
+        FROM sc WHERE cosine >= {threshold}
+    """
+
+
 def simhash_pairs_sql(tokenize_sql: str, max_hamming: int) -> str:
     """Twin of operators/dedupe_ops.simhash_near_pairs(hash_family='md5'):
     60-bit tf-weighted SimHash from md5-60 token hashes, 4×15-bit pigeonhole

@@ -274,36 +274,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .where(F.col("jaccard") >= threshold))
 
 
-def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
-                         id_col: str = "vec_id", threshold: float = 0.9,
-                         n_planes: int = 16, seed: int = 42,
-                         dim: int | None = None) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Scale path: random-hyperplane LSH
-    bucket (16-bit signature) → bucket join → exact cosine verify. Only
-    bucket-colliding pairs are scored (recall is probabilistic; raise
-    n_planes/bands for higher recall)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+def _rh_planes(n_planes: int, dim: int, seed: int = 42,
+               quantize: int | None = None) -> np.ndarray:
+    """Random hyperplanes; with `quantize`, integer-rounded (×quantize) so
+    the sign of every dot product is EXACT integer math — the same bits on
+    any platform and replayable by the DuckDB oracle (float matmul summation
+    order varies between numpy BLAS and SQL engines near zero)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+    if quantize:
+        return np.round(planes * quantize).astype(np.int64)
+    return planes
 
-    @F.pandas_udf("int")
-    def lsh_sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())
-        bits = (m @ planes.T) > 0
-        sig = np.zeros(len(vecs), dtype=np.int64)
+
+def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", threshold: float = 0.9,
+                         n_planes: int = 32, bands: int = 8, seed: int = 42,
+                         dim: int | None = None,
+                         quantize: int | None = None,
+                         max_bucket_size: int | None = 5000) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Scale path: banded random-hyperplane
+    LSH (bands × (n_planes/bands)-bit signatures: a pair is a candidate if
+    ANY band matches, the minhash-banding recall shape) → bucket join → exact
+    float64 cosine verify. quantize=Q buckets on integer-rounded
+    vectors/planes so the sign of every dot product is exact integer math —
+    platform-independent and DuckDB-oracle-replayable; buckets above
+    max_bucket_size are dropped (see _cap_buckets)."""
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _rh_planes(n_planes, dim, seed, quantize)
+
+    @F.pandas_udf("array<int>")
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        if quantize:
+            dots = np.round(m * quantize).astype(np.int64) @ planes.T
+        else:
+            dots = m @ planes.T
+        bits = (dots > 0).astype(np.int32)
+        out = np.zeros((len(vecs), bands), dtype=np.int32)
         for i in range(n_planes):
-            sig |= bits[:, i].astype(np.int64) << i
-        return pd.Series(sig.astype(np.int32))
+            out[:, i // r] |= bits[:, i] << (i % r)
+        return pd.Series(list(out))
 
-    sigs = df.select(F.col(id_col), F.col(vec_col), lsh_sig(F.col(vec_col)).alias("bucket"))
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    sigs = df.select(F.col(id_col), F.col(vec_col),
+                     F.posexplode(band_sigs(F.col(vec_col)))
+                      .alias("band", "bucket"))
+    sigs = _cap_buckets(sigs, ["band", "bucket"], max_bucket_size)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                    "band", "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                    "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "v_a", "v_b")
+             .dropDuplicates(["id_a", "id_b"]))
 
     @F.pandas_udf("double")
     def cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-        ma, mb = np.stack(va.to_numpy()), np.stack(vb.to_numpy())
+        # float64 throughout: float32 accumulation error (~1e-7) would break
+        # the oracle's 6-decimal rounding; float64 differs only at ~1e-15
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
         num = (ma * mb).sum(axis=1)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(np.where(den > 0, num / den, 0.0))

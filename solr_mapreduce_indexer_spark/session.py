@@ -46,7 +46,8 @@ def ensure_shipped(spark: SparkSession) -> None:
 def get_spark(app: str = "solr_mapreduce_indexer_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
-              driver_memory: str | None = None) -> SparkSession:
+              driver_memory: str | None = None,
+              executor_memory: str | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -54,7 +55,11 @@ def get_spark(app: str = "solr_mapreduce_indexer_spark",
         # mirroring the reference's 8x-slots over-decomposition,
         # MorphlineEnabledIndexerTool.java:65-67)
         n = master[master.find("[") + 1:master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        try:
+            shuffle_partitions = cpus if n == "*" else int(n)
+        except ValueError:  # local-cluster[n,cores,mem] → n*cores
+            parts = n.split(",")
+            shuffle_partitions = int(parts[0]) * int(parts[1])
     b = (SparkSession.builder
          .master(master)
          .appName(app)
@@ -84,6 +89,10 @@ def get_spark(app: str = "solr_mapreduce_indexer_spark",
         # page-fault noise on virtualized hosts, polluting benchmarks
         b = (b.config("spark.driver.memory", driver_memory)
               .config("spark.driver.extraJavaOptions", f"-Xms{driver_memory}"))
+    if executor_memory:
+        # local-cluster / real clusters: per-executor heap (local mode
+        # executors live in the driver JVM and ignore this)
+        b = b.config("spark.executor.memory", executor_memory)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

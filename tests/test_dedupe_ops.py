@@ -79,8 +79,14 @@ def test_embedding_near_pairs_and_recall(spark):
         rows.append((20 + j, (base[j] + 0.01 * rng.standard_normal(16)
                               .astype(np.float32)).tolist()))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = embedding_near_pairs(df, threshold=0.95, n_planes=8).toPandas()
+    pairs = embedding_near_pairs(df, threshold=0.95, n_planes=8,
+                                 bands=2).toPandas()
     found = {tuple(x) for x in pairs[["id_a", "id_b"]].itertuples(index=False)}
-    # LSH with 8 planes keeps near-identical vectors in one bucket w.h.p.
+    # banded LSH keeps near-identical vectors in one bucket w.h.p.
     assert sum((j, 20 + j) in found for j in range(5)) >= 4
     assert (pairs["cosine"] >= 0.95).all()
+    # quantized variant: same near-dups found, exact integer bucket signs
+    qpairs = embedding_near_pairs(df, threshold=0.95, n_planes=8, bands=2,
+                                  quantize=1000).toPandas()
+    qfound = {tuple(x) for x in qpairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert sum((j, 20 + j) in qfound for j in range(5)) >= 4

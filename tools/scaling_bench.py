@@ -37,10 +37,12 @@ from solr_mapreduce_indexer_spark.index.build import build_index
 from solr_mapreduce_indexer_spark.query.bm25 import load_index, run_queries
 
 cpus = {cpus}
+master = {master!r}
 os.makedirs("/dev/shm/smis_localdir", exist_ok=True)
 os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/smis_localdir"  # tmpfs shuffle dir
-spark = get_spark(app=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=64, driver_memory="16g")
+spark = get_spark(app=f"scaling_{{cpus}}", master=master,
+                  shuffle_partitions=64, driver_memory="16g",
+                  executor_memory="8g")
 tr = spark.read.parquet({src!r})
 n = tr.count()
 cfg = IndexConfig(shards={shards}, reducers={reducers}, fanout={fanout})
@@ -124,11 +126,13 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2) -> dict:
 
 
 def run_level(cpus: int, src: str, work: str, shards: int = 8,
-              reducers: int = 64, fanout: int = 8) -> dict:
+              reducers: int = 64, fanout: int = 8,
+              master: str | None = None) -> dict:
     idx = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
     code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx,
-                         shards=shards, reducers=reducers, fanout=fanout)
+                         shards=shards, reducers=reducers, fanout=fanout,
+                         master=master or f"local[{cpus}]")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
@@ -148,6 +152,13 @@ def main() -> None:
     ap.add_argument("--reducers", type=int, default=64)
     ap.add_argument("--fanout", type=int, default=8)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--mode", choices=["threads", "executors"],
+                    default="threads",
+                    help="threads: local[N] (one JVM, N task threads). "
+                         "executors: local-cluster[N,exec-cores,8g] — N real "
+                         "executor PROCESSES, the north rule's unit; levels "
+                         "are then executor counts, not core counts")
+    ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--src", default=None,
                     help="reuse an existing synthesized corpus dir "
                          "(skips synthesis; --turns is ignored for sizing)")
@@ -178,15 +189,25 @@ def main() -> None:
         spark.stop()
 
     lo, hi = sorted(args.levels)
-    ceiling = cpu_ceiling(lo, hi)
-    r_lo = run_level(lo, src, work, args.shards, args.reducers, args.fanout)
-    r_hi = run_level(hi, src, work, args.shards, args.reducers, args.fanout)
+    if args.mode == "executors":
+        c = args.exec_cores
+        ceiling = cpu_ceiling(lo * c, hi * c)
+        r_lo = run_level(lo * c, src, work, args.shards, args.reducers,
+                         args.fanout, master=f"local-cluster[{lo},{c},8192]")
+        r_hi = run_level(hi * c, src, work, args.shards, args.reducers,
+                         args.fanout, master=f"local-cluster[{hi},{c},8192]")
+    else:
+        ceiling = cpu_ceiling(lo, hi)
+        r_lo = run_level(lo, src, work, args.shards, args.reducers, args.fanout)
+        r_hi = run_level(hi, src, work, args.shards, args.reducers, args.fanout)
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
     eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
     ceil = ceiling["cpu_scaling_efficiency"]
+    label = (f"local-cluster {lo} vs {hi} executors x {args.exec_cores} cores"
+             if args.mode == "executors" else f"local[{lo}] vs local[{hi}]")
     result = {
-        "metric": f"scaling efficiency N->4N (local[{lo}] vs local[{hi}], same input)",
+        "metric": f"scaling efficiency N->4N ({label}, same input)",
         "n_turns": r_lo["n_turns"],
         "levels": {str(lo): r_lo, str(hi): r_hi},
         "hardware_cpu_ceiling": ceiling,
