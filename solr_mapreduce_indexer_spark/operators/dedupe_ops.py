@@ -77,35 +77,35 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     toks = tokenize_col(text_col, cfg)
     shingles = _shingle_hash_expr(toks, shingle_w, hash_family)
 
-    if hash_family == "md5":
-        @F.pandas_udf("array<long>")
-        def minhash(hashes: pd.Series) -> pd.Series:
-            out = []
-            for h in hashes:
-                hv = np.asarray(h, dtype=np.int64)  # < 2^28, non-negative
-                if len(hv) == 0:
-                    out.append(np.zeros(num_perm, dtype=np.int64))
-                    continue
+    @F.pandas_udf("array<long>")
+    def minhash(hashes: pd.Series) -> pd.Series:
+        # Batch-vectorized: flatten every doc's shingle hashes into ONE
+        # array, apply each permutation to the whole batch, and take per-doc
+        # mins with minimum.reduceat — no per-doc python loop, one pass per
+        # permutation (memory O(total shingles), not O(perms × shingles)).
+        lens = np.fromiter((len(h) for h in hashes), np.int64, len(hashes))
+        nz = np.flatnonzero(lens)
+        sigs = np.zeros((len(hashes), num_perm), dtype=np.int64)
+        if len(nz):
+            flat = np.concatenate([np.asarray(hashes.iat[i], dtype=np.int64)
+                                   for i in nz])
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            if hash_family == "md5":
                 # exact int64 math (< 2^59); identical in DuckDB BIGINT
-                m = (a[:, None] * hv[None, :] + b[:, None]) % MERSENNE31
-                out.append(m.min(axis=1))
-            return pd.Series(out)
-    else:
-        @F.pandas_udf("array<long>")
-        def minhash(hashes: pd.Series) -> pd.Series:
-            out = []
-            with np.errstate(over="ignore"):
-                for h in hashes:
-                    hv = (np.asarray(h, dtype=np.int64).astype(np.uint64)
-                          % np.uint64(MERSENNE)).astype(np.int64)
-                    if len(hv) == 0:
-                        out.append(np.zeros(num_perm, dtype=np.int64))
-                        continue
-                    # (num_perm, n_shingles) via broadcasting, mod-min per row
-                    m = ((a[:, None].astype(np.uint64) * hv[None, :].astype(np.uint64)
-                          + b[:, None].astype(np.uint64)) % np.uint64(MERSENNE))
-                    out.append(m.min(axis=1).astype(np.int64))
-            return pd.Series(out)
+                for q in range(num_perm):
+                    mq = (a[q] * flat + b[q]) % MERSENNE31
+                    sigs[nz, q] = np.minimum.reduceat(mq, starts)
+            else:
+                with np.errstate(over="ignore"):
+                    hv = (flat.astype(np.uint64) % np.uint64(MERSENNE))
+                    au = a.astype(np.uint64)
+                    bu = b.astype(np.uint64)
+                    for q in range(num_perm):
+                        mq = (au[q] * hv + bu[q]) % np.uint64(MERSENNE)
+                        sigs[nz, q] = np.minimum.reduceat(
+                            mq, starts).astype(np.int64)
+        return pd.Series(list(sigs))
 
     return df.select(F.col(id_col), minhash(shingles).alias("sig"))
 
@@ -125,6 +125,24 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
     ok = sizes.where(F.col("_bsz") <= max_bucket_size).select(*keys)
     return banded.join(ok, keys)
+
+
+def _bucket_pair_candidates(banded: DataFrame, id_col: str,
+                            max_bucket_size: int | None) -> DataFrame:
+    """(band, bucket, id) rows → distinct candidate id pairs via a NARROW
+    self-join: only (band, bucket, id) shuffles; payload columns
+    (signatures/vectors) are joined back by id afterwards, keeping the
+    quadratic join rows as thin as possible. (A per-bucket applyInPandas
+    pair enumerator was measured 16x SLOWER here: LSH buckets are mostly
+    singletons, and python-worker overhead per tiny group dwarfs the JVM
+    join, which handles singletons for free.)"""
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (left.join(right, ["band", "bucket"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -151,16 +169,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                            .alias("band"))
               .withColumn("bucket",
                           band_str if hash_family == "md5"
-                          else F.xxhash64(band_str)))
-    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-                         "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-                          "band", "bucket")
-    cand = (left.join(right, ["band", "bucket"])
-                .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", "sig_a", "sig_b")
-                .dropDuplicates(["id_a", "id_b"]))
+                          else F.xxhash64(band_str))
+              .select(id_col, "band", "bucket"))
+    cand = _bucket_pair_candidates(banded, id_col, max_bucket_size)
+    # signatures rejoin by id (narrow keys; AQE broadcasts at small scale)
+    cand = (cand
+            .join(sigs.select(F.col(id_col).alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+            .join(sigs.select(F.col(id_col).alias("id_b"),
+                              F.col("sig").alias("sig_b")), "id_b"))
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda v: v)) / F.lit(num_perm)
     return (cand.select("id_a", "id_b", est.alias("est_jaccard"))
@@ -183,17 +200,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     @F.pandas_udf("long")
     def sim(hashes: pd.Series) -> pd.Series:
+        # Batch-vectorized: one flattened pass per BIT with add.reduceat
+        # per-doc popcounts — no per-doc python loop or (tokens × bits)
+        # matrix per row.
+        lens = np.fromiter((len(h) for h in hashes), np.int64, len(hashes))
+        nz = np.flatnonzero(lens)
         out = np.zeros(len(hashes), dtype=np.uint64)
-        for i, h in enumerate(hashes):
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            if len(hv) == 0:
-                continue
-            bits_mat = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-            v = (2 * bits_mat - 1).sum(axis=0)
-            sig = ((v > 0).astype(np.uint64)
-                   << np.arange(bits, dtype=np.uint64)).sum(dtype=np.uint64)
-            out[i] = sig
+        if len(nz):
+            flat = np.concatenate([np.asarray(hashes.iat[i], np.int64)
+                                   for i in nz]).view(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            nzl = lens[nz]
+            sig = np.zeros(len(nz), dtype=np.uint64)
+            for j in range(bits):
+                cnt = np.add.reduceat((flat >> np.uint64(j)) & np.uint64(1),
+                                      starts)
+                sig |= (2 * cnt > nzl).astype(np.uint64) << np.uint64(j)
+            out[nz] = sig
         return pd.Series(out.view(np.int64))
 
     return df.select(F.col(id_col), sim(tok_hashes).alias("simhash64"))
