@@ -109,3 +109,42 @@ def test_validate_catches_corruption(spark, built, tmp_path):
     report = validate_index(spark, bad)
     assert not report["ok"]
     assert report["n_block_errors"] >= 1 or report["df_cf_mismatches"] >= 1
+
+
+def test_cli_dry_run_prints_docs(built, tmp_path, capsys):
+    """Reference --dry-run analog (MorphlineEnabledIndexerTool.java:186-200):
+    prints prepared documents, builds nothing."""
+    src = os.path.join(os.path.dirname(built), "tr")
+    out = str(tmp_path / "dry_idx")
+    rc = main(["build", "--input", src, "--output-dir", out,
+               "--shards", "2", "--dry-run", "--dry-run-rows", "5"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "conv_id" in printed and "doc_id" in printed
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+
+
+def test_cli_build_with_set_overrides(spark, tmp_path, capsys):
+    """--set FIELD=VALUE forces the value onto every doc before indexing
+    (MorphlineMapRunner.java:84-93)."""
+    src = str(tmp_path / "tr")
+    idx = str(tmp_path / "idx")
+    pdf = synth_transcripts_pandas(n_convs=20, turns_per_conv=4,
+                                   vocab_size=200, seed=3)
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA) \
+         .write.mode("overwrite").parquet(src)
+    rc = main(["build", "--input", src, "--output-dir", idx,
+               "--shards", "2", "--set", "role=assistant"])
+    assert rc == 0
+    dm = spark.read.parquet(os.path.join(idx, "docmap"))
+    assert dm.select("role").distinct().collect() == [("assistant",)] or \
+        [r["role"] for r in dm.select("role").distinct().collect()] == ["assistant"]
+
+
+def test_cli_publish_verb(built, tmp_path, capsys):
+    serving = str(tmp_path / "serving")
+    rc = main(["publish", "--index-dir", built, "--serving-dir", serving])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["published"] is True
+    assert os.path.islink(os.path.join(serving, "current"))
