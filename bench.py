@@ -102,7 +102,9 @@ def bench_run(spark, sf_dir: str, n_turns: int | None = None,
     # This sandbox's cold JVM shows minutes-scale nondeterministic warm-up
     # (see BENCH.md); steady-state throughput is the metric. One small build
     # + query batch exercises every code path before the clocks start.
-    cfg = IndexConfig(shards=4, reducers=16, fanout=2)
+    # 32 micro-shards: one build task per core at local[32]; fanout 8 keeps
+    # the merge tree at a single level (32 -> 4)
+    cfg = IndexConfig(shards=4, reducers=32, fanout=8)
     warm_dir = os.path.join(work_dir, "warm_idx")
     warm = tr.where(F.abs(F.xxhash64("conv_id")) % 10 == 0)
     build_index(spark, warm, cfg, warm_dir, input_path=src_path, resume=False)

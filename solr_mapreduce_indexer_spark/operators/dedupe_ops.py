@@ -122,9 +122,11 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     Spark MLlib's MinHashLSH leaves it to the caller entirely)."""
     if max_bucket_size is None:
         return banded
-    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
-    ok = sizes.where(F.col("_bsz") <= max_bucket_size).select(*keys)
-    return banded.join(ok, keys)
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys)
+    return (banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                  .where(F.col("_bsz") <= max_bucket_size)
+                  .drop("_bsz"))
 
 
 def _bucket_pair_candidates(banded: DataFrame, id_col: str,
