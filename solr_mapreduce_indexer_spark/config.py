@@ -45,7 +45,16 @@ class IndexConfig:
     b: float = 0.75
 
     # --- analysis ---
-    token_pattern: str = "[a-z0-9]+"   # lowercase + ascii word-break
+    token_pattern: str = "[a-z0-9]+"   # lowercase + ascii word-break.
+                                       # MUST be dialect-portable: the same
+                                       # pattern runs under Python re (posting
+                                       # kernel), JVM regexp_extract_all
+                                       # (docmap doc_len), and DuckDB (oracle).
+                                       # validate_index cross-checks posting
+                                       # Σtf against docmap doc_len per doc,
+                                       # so a dialect divergence fails
+                                       # validation rather than silently
+                                       # skewing BM25 norms.
     min_token_len: int = 1
     stopwords: tuple[str, ...] = ()    # default: keep everything (Lucene
                                        # StandardAnalyzer w/o stopset)
