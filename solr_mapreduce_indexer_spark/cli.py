@@ -116,6 +116,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_merge_indexes(args) -> int:
+    from .index.merge import merge_indexes
+
+    spark = _spark(args, "smis-merge-indexes")
+    m = merge_indexes(spark, args.inputs, args.output_dir)
+    print(json.dumps({"index_dir": args.output_dir,
+                      "shards": m["shards"],
+                      "n_docs": m["stats"]["n_docs"]}))
+    return 0
+
+
 def cmd_publish(args) -> int:
     from .index.manifest import publish_index
 
@@ -206,6 +217,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "max_segments, itself defaulting to 1)")
     _add_spark_args(c)
     c.set_defaults(fn=cmd_compact)
+
+    mi = sub.add_parser("merge-indexes",
+                        help="merge independently built indexes into one "
+                             "(doc-id rebase is metadata-only; no posting "
+                             "rewrite — the cross-index IndexMergeTool/"
+                             "GoLive-merge analog)")
+    mi.add_argument("--inputs", nargs="+", required=True)
+    mi.add_argument("--output-dir", required=True)
+    _add_spark_args(mi)
+    mi.set_defaults(fn=cmd_merge_indexes)
 
     g = sub.add_parser("publish", help="go-live analog: atomic snapshot swap "
                                        "into a serving directory")

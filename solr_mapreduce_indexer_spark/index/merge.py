@@ -161,6 +161,138 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     return levels
 
 
+def merge_indexes(spark: SparkSession, input_dirs: list[str],
+                  out_dir: str) -> dict:
+    """Merge INDEPENDENTLY BUILT indexes into one queryable index — the
+    engine-side analog of the reference's cross-index merge surface
+    (IndexMergeTool.java:48-177 merges arbitrary shard inventories;
+    GoLiveTool.java:107-120 issues CoreAdmin MergeIndexes per live core).
+
+    Metadata-only, no posting decode: block doc payloads are base-relative
+    (delta[0] is reconstructed from first_doc at decode, codec.py
+    decode_doc_deltas), so rebasing index i into a fresh doc-id namespace is
+    adding ``offset_i << doc_bits`` to first_doc/last_doc and to the docmap
+    doc_id/shard_id columns, where offset_i = Σ micro-shards of earlier
+    inputs. Final shard ids are re-tagged the same way; block-max bounds are
+    recomputed from the avgdl-independent (max_tf, min_dl) metadata under
+    the merged corpus avgdl — the exact trick streaming finalize uses.
+
+    Inputs must share analysis/scoring config (token_pattern, k1, b,
+    doc_bits) — asserted, since mixing dialects would corrupt scores."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from ..config import IndexConfig
+    from .build import segment_metrics
+
+    assert len(input_dirs) >= 1
+    manifests = [mf.read_manifest(d) for d in input_dirs]
+    cfgs = [IndexConfig(**{k: (tuple(v) if k == "stopwords" else v)
+                           for k, v in m["config"].items()})
+            for m in manifests]
+    base = cfgs[0]
+    for c in cfgs[1:]:
+        if (c.token_pattern, c.k1, c.b, c.doc_bits, c.min_token_len,
+                c.stopwords) != (base.token_pattern, base.k1, base.b,
+                                 base.doc_bits, base.min_token_len,
+                                 base.stopwords):
+            raise ValueError("indexes built with different analysis/scoring "
+                             "config cannot be merged")
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = sum(int(m["stats"]["n_docs"]) for m in manifests)
+    total_tokens = sum(int(m["stats"]["total_tokens"]) for m in manifests)
+    avgdl = total_tokens / n_docs
+
+    # micro-shard namespace width per input = max doc-id high bits + 1,
+    # derived from the docmap itself (parquet min/max stats make this a
+    # metadata-only scan) — correct for batch (R micros) AND stream-finalized
+    # (gens × S micros) indexes alike
+    micros = []
+    for d in input_dirs:
+        mx = (spark.read.parquet(os.path.join(d, "docmap"))
+              .agg(F.max(F.shiftright("doc_id", base.doc_bits))).first()[0])
+        micros.append(int(mx) + 1)
+    offsets = [0]
+    for n in micros[:-1]:
+        offsets.append(offsets[-1] + n)
+    shard_offsets = [0]
+    for m in manifests[:-1]:
+        shard_offsets.append(shard_offsets[-1] + int(m["shards"]))
+
+    doc_shift = [o << base.doc_bits for o in offsets]
+
+    # --- docmap: union with rebased ids, partitioned by rebased micro ------
+    docmap_path = os.path.join(out_dir, "docmap")
+    dms = []
+    for d, off, shift in zip(input_dirs, offsets, doc_shift):
+        dm = (spark.read.parquet(os.path.join(d, "docmap"))
+              .withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+              .withColumn("shard_id", (F.col("shard_id") + F.lit(off))
+                          .cast("int")))
+        dms.append(dm)
+    (reduce(DataFrame.unionByName, dms)
+     .repartition(max(1, sum(int(m["shards"]) for m in manifests)), "shard_id")
+     .write.mode("overwrite").option("compression", base.compression)
+     .partitionBy("shard_id").parquet(docmap_path))
+
+    # --- postings: concat final levels, rebase ids, re-bound, re-tag shards -
+    level_path = os.path.join(out_dir, "segments", "merged_0")
+    k1, b = float(base.k1), float(base.b)
+    parts = []
+    for d, m, shift, soff in zip(input_dirs, manifests, doc_shift,
+                                 shard_offsets):
+        src = spark.read.parquet(m["levels"][-1]["path"])
+        parts.append(src
+                     .withColumn("first_doc", F.col("first_doc") + F.lit(shift))
+                     .withColumn("last_doc", F.col("last_doc") + F.lit(shift))
+                     .withColumn("shard_id", (F.col("shard_id") + F.lit(soff))
+                                 .cast("int")))
+    blocks = reduce(DataFrame.unionByName, parts)
+    mtf = F.col("max_tf").cast("double")
+    bound = (mtf * F.lit(k1 + 1.0)
+             / (mtf + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("min_dl").cast("double")
+                                   / F.lit(avgdl))))
+    n_shards = sum(int(m["shards"]) for m in manifests)
+    (blocks.withColumn("max_tfnorm", bound)
+           .repartition(n_shards, "shard_id")
+           .sortWithinPartitions("term", "first_doc")
+           .write.mode("overwrite").option("compression", base.compression)
+           .partitionBy("shard_id").parquet(level_path))
+
+    # --- term stats from block metadata ------------------------------------
+    term_stats_path = os.path.join(out_dir, "term_stats")
+    ts = (spark.read.parquet(level_path)
+          .groupBy("term")
+          .agg(F.sum("n").cast("long").alias("df"),
+               F.sum("sum_tf").cast("long").alias("cf")))
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+       .write.mode("overwrite").parquet(term_stats_path))
+    n_terms = spark.read.parquet(term_stats_path).count()
+
+    import dataclasses
+    merged_cfg = dataclasses.replace(base, shards=n_shards,
+                                     reducers=sum(micros))
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
+             "n_terms": n_terms}
+    level = {"level": 0, "path": level_path, "n_shards": n_shards,
+             "segments": segment_metrics(spark, level_path),
+             "lineage": {"merged_from": [os.path.abspath(d)
+                                         for d in input_dirs],
+                         "micro_offsets": offsets}}
+    mf.write_checkpoint(out_dir, "docmap",
+                        {"path": docmap_path, "stats": stats,
+                         "partitions": sum(micros)})
+    mf.write_checkpoint(out_dir, "term_stats",
+                        {"path": term_stats_path, "n_terms": n_terms})
+    mf.write_checkpoint(out_dir, "level_0", level)
+    return mf.write_manifest(out_dir, merged_cfg, stats, [level],
+                             input_path=f"merge_indexes:{len(input_dirs)}")
+
+
 def compact_final(spark: SparkSession, index_dir: str,
                   max_segments: int | None = None) -> dict:
     """forceMerge(maxSegments) analog as a standalone pass: rewrite the final

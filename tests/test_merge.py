@@ -90,3 +90,48 @@ def test_resume_after_partial_merge(spark, transcripts_df, merged_idx, tmp_path_
     assert docmap_mtime == after_mtime, "docmap was rebuilt on resume"
     after = _results(spark, merged_idx)
     assert before.equals(after)
+
+
+def test_merge_independent_indexes_matches_union_build(spark, tmp_path):
+    """merge_indexes over two independently built indexes must answer
+    queries with the SAME (conv_id, turn_idx, score) results as one index
+    built over the union of their inputs (BM25 depends on tf/dl/df/N/avgdl —
+    all identical; only doc-id assignment differs)."""
+    from solr_mapreduce_indexer_spark.config import IndexConfig
+    from solr_mapreduce_indexer_spark.index.build import build_index
+    from solr_mapreduce_indexer_spark.index.merge import merge_indexes
+    from solr_mapreduce_indexer_spark.index.validate import validate_index
+    from solr_mapreduce_indexer_spark.query.bm25 import bm25_topk, load_index
+    from solr_mapreduce_indexer_spark.sources.transcripts import (
+        synth_transcripts_pandas, TRANSCRIPT_SCHEMA)
+
+    pdf_a = synth_transcripts_pandas(n_convs=60, turns_per_conv=4, seed=1)
+    pdf_b = synth_transcripts_pandas(n_convs=50, turns_per_conv=4, seed=2)
+    pdf_b["conv_id"] = "b" + pdf_b["conv_id"]  # disjoint keys
+    df_a = spark.createDataFrame(pdf_a, schema=TRANSCRIPT_SCHEMA)
+    df_b = spark.createDataFrame(pdf_b, schema=TRANSCRIPT_SCHEMA)
+
+    cfg = IndexConfig(shards=2, reducers=4, fanout=2)
+    ia, ib = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, df_a, cfg, ia)
+    build_index(spark, df_b, cfg, ib)
+    merged_dir = str(tmp_path / "merged")
+    m = merge_indexes(spark, [ia, ib], merged_dir)
+    assert m["shards"] == 4
+    assert m["stats"]["n_docs"] == len(pdf_a) + len(pdf_b)
+
+    union_dir = str(tmp_path / "union")
+    build_index(spark, df_a.unionByName(df_b), cfg, union_dir)
+
+    hm, hu = load_index(merged_dir), load_index(union_dir)
+    for terms, mode in ([["tok00001", "tok00005"], "OR"],
+                        [["tok00000", "tok00002"], "AND"],
+                        [["zyzzyva"], "OR"]):
+        got = bm25_topk(spark, hm, terms, k=15, mode=mode).collect()
+        want = bm25_topk(spark, hu, terms, k=15, mode=mode).collect()
+        key = lambda r: (round(r["score"], 9), r["conv_id"], r["turn_idx"])
+        assert sorted(map(key, got)) == sorted(map(key, want)), (terms, mode)
+
+    # the merged index passes full read-back validation (df/cf, doc_len
+    # cross-check, block bounds under the merged avgdl)
+    assert validate_index(spark, merged_dir)["ok"]
