@@ -464,7 +464,12 @@ def oracle_sql() -> dict[str, str]:
                              for i in range(1, len(toks) - 1)]
                           ELSE [array_to_string(toks, ' ')] END) AS gs
                    FROM t),
-            ex AS (SELECT doc_id, len(gs) AS card, unnest(gs) AS g FROM sh),
+            ex0 AS (SELECT doc_id, len(gs) AS card, unnest(gs) AS g FROM sh),
+            -- mirror of the engine's max_shingle_df=100000 cap (dedupe_ops
+            -- ngram_jaccard_pairs): hot shingles leave candidate generation
+            -- AND intersection counting on both sides identically
+            ex AS (SELECT * FROM ex0
+                   QUALIFY count(*) OVER (PARTITION BY g) <= 100000),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      a.card AS card_a, b.card AS card_b, count(*)::DOUBLE AS i

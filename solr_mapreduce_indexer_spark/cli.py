@@ -142,6 +142,45 @@ def cmd_publish(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Training-data dedup family over a parquet table, with the scale caps
+    (--max-bucket-size / --max-shingle-df) surfaced as knobs and every
+    capped drop reported in the output JSON (never silent)."""
+    from .operators import dedupe_ops as ops
+
+    spark = _spark(args, "smis-dedup")
+    df = spark.read.parquet(args.input)
+    metrics: dict = {}
+    mbs = args.max_bucket_size if args.max_bucket_size > 0 else None
+    msd = args.max_shingle_df if args.max_shingle_df > 0 else None
+    if args.method == "exact":
+        out = ops.exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+    elif args.method == "minhash":
+        out = ops.minhash_lsh_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            jaccard_threshold=args.threshold, max_bucket_size=mbs,
+            metrics=metrics)
+    elif args.method == "simhash":
+        out = ops.simhash_near_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            max_hamming=args.max_hamming, max_bucket_size=mbs,
+            metrics=metrics)
+    elif args.method == "ngram":
+        out = ops.ngram_jaccard_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold, max_shingle_df=msd, metrics=metrics)
+    else:  # embedding
+        out = ops.embedding_near_pairs(
+            df, vec_col=args.vec_col, id_col=args.id_col,
+            threshold=args.threshold, max_bucket_size=mbs, metrics=metrics)
+    out.write.mode("overwrite").parquet(args.output)
+    caps = ops.collect_cap_metrics(metrics) if metrics else {}
+    print(json.dumps({"output": args.output,
+                      "n_pairs": spark.read.parquet(args.output).count(),
+                      "cap_metrics": caps}))
+    return 0
+
+
 def cmd_query(args) -> int:
     from .query.bm25 import bm25_topk, load_index
 
@@ -236,6 +275,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run read-back validation before publishing")
     _add_spark_args(g)
     g.set_defaults(fn=cmd_publish)
+
+    d = sub.add_parser("dedup", help="exact/near-dup detection over a parquet "
+                                     "table (pairs written as parquet; capped "
+                                     "drops reported, never silent)")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "ngram",
+                            "embedding"])
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--vec-col", default="embedding")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--max-bucket-size", type=int, default=5000,
+                   help="drop LSH buckets larger than this (0 = uncapped); "
+                        "drops are counted and reported")
+    d.add_argument("--max-shingle-df", type=int, default=100_000,
+                   help="ngram method: exclude shingles in more docs than "
+                        "this (0 = uncapped)")
+    _add_spark_args(d)
+    d.set_defaults(fn=cmd_dedup)
 
     q = sub.add_parser("query", help="top-k BM25 over a built index")
     q.add_argument("--index-dir", required=True)

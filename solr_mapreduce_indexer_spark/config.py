@@ -27,6 +27,14 @@ class IndexConfig:
                                    # reference's zip-output claims ~1/5 size,
                                    # SolrOutputFormat.java:126-133; zstd gives
                                    # a similar ratio with cheap decode)
+    intermediate_compression: str = "snappy"
+                                   # codec for levels the merge tree rewrites
+                                   # anyway (level 0 + inner merge levels +
+                                   # stream generations): these bytes are
+                                   # written once and read once, so cheap/
+                                   # fast beats dense; the FINAL level (what
+                                   # queries scan forever) always uses
+                                   # `compression`
     block_size: int = 128          # postings per compressed block (Lucene-style)
     posting_codec: str = "for"     # posting value compression: "for" (bit-
                                    # packed frame-of-reference; PForDelta's

@@ -130,13 +130,23 @@ def winnow_sql(tokenize_sql: str, k: int, w: int) -> str:
     """
 
 
+def _cap_qualify(max_bucket_size) -> str:
+    """Mirror of operators/dedupe_ops._cap_buckets for the banded CTEs:
+    engine and oracle must drop the SAME degenerate buckets, else a corpus
+    with any bucket over the cap silently diverges."""
+    if max_bucket_size is None:
+        return ""
+    return (f" QUALIFY count(*) OVER (PARTITION BY band, bucket)"
+            f" <= {int(max_bucket_size)}")
+
+
 def minhash_pairs_sql(tokenize_sql: str, shingle_w: int, num_perm: int,
                       bands: int, threshold: float,
-                      a, b) -> str:
+                      a, b, max_bucket_size: int | None = 5000) -> str:
     """Twin of operators/dedupe_ops.minhash_lsh_pairs(hash_family='md5'):
     28-bit md5 shingle hashes, embedded permutation constants a/b (the same
     numpy-seeded values the Spark kernel uses), (a*h+b) % (2^31-1) mins,
-    band-string buckets, estimated-Jaccard verify."""
+    band-string buckets, bucket-size cap, estimated-Jaccard verify."""
     rpb = num_perm // bands
     a_lit = "[" + ", ".join(str(int(x)) for x in a) + "]"
     b_lit = "[" + ", ".join(str(int(x)) for x in b) + "]"
@@ -152,7 +162,8 @@ def minhash_pairs_sql(tokenize_sql: str, shingle_w: int, num_perm: int,
                 FROM sh),
         banded AS (SELECT doc_id, sig, band,
                      array_to_string(sig[band*{rpb}+1:band*{rpb}+{rpb}], ',') AS bucket
-                   FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bx),
+                   FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bx
+                   {_cap_qualify(max_bucket_size)}),
         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                         l.sig AS sig_a, r.sig AS sig_b
                  FROM banded l JOIN banded r
@@ -170,12 +181,13 @@ def minhash_pairs_sql(tokenize_sql: str, shingle_w: int, num_perm: int,
 
 
 def embedding_pairs_sql(threshold: float, planes, quantize: int,
-                        bands: int) -> str:
+                        bands: int,
+                        max_bucket_size: int | None = 5000) -> str:
     """Twin of operators/dedupe_ops.embedding_near_pairs(quantize=Q):
     banded integer-quantized random-hyperplane LSH (signs are exact integer
-    dot products on both sides), any-band bucket join, float64 cosine
-    verify. `planes` is the integer plane matrix the Spark kernel uses
-    (embedded literally)."""
+    dot products on both sides), any-band bucket join with bucket-size cap,
+    float64 cosine verify. `planes` is the integer plane matrix the Spark
+    kernel uses (embedded literally)."""
     n_planes, dim = planes.shape
     r = n_planes // bands
     plane_lits = ["[" + ", ".join(str(int(x)) for x in p) + "]" for p in planes]
@@ -197,7 +209,8 @@ def embedding_pairs_sql(threshold: float, planes, quantize: int,
         sg AS (SELECT vec_id, v, {buckets} AS bks FROM q),
         banded AS (SELECT vec_id, v, band, bks[band + 1] AS bucket
                    FROM sg CROSS JOIN
-                     (SELECT unnest(range(0, {bands})) AS band) bx),
+                     (SELECT unnest(range(0, {bands})) AS band) bx
+                   {_cap_qualify(max_bucket_size)}),
         cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
                         l.v AS v_a, r.v AS v_b
                  FROM banded l JOIN banded r
@@ -213,10 +226,11 @@ def embedding_pairs_sql(threshold: float, planes, quantize: int,
     """
 
 
-def simhash_pairs_sql(tokenize_sql: str, max_hamming: int) -> str:
+def simhash_pairs_sql(tokenize_sql: str, max_hamming: int,
+                      max_bucket_size: int | None = 5000) -> str:
     """Twin of operators/dedupe_ops.simhash_near_pairs(hash_family='md5'):
     60-bit tf-weighted SimHash from md5-60 token hashes, 4×15-bit pigeonhole
-    bands, exact hamming verify."""
+    bands with bucket-size cap, exact hamming verify."""
     bits, bands, width = 60, 4, 15
     mask = (1 << width) - 1
     return f"""
@@ -232,7 +246,8 @@ def simhash_pairs_sql(tokenize_sql: str, max_hamming: int) -> str:
                FROM h),
         banded AS (SELECT doc_id, sig,
                      band, (sig >> (band * {width})) & {mask} AS bucket
-                   FROM sg CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bx),
+                   FROM sg CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bx
+                   {_cap_qualify(max_bucket_size)}),
         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                         l.sig AS s_a, r.sig AS s_b
                  FROM banded l JOIN banded r

@@ -164,27 +164,48 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
         return pd.DataFrame(out, columns=POSTINGS_COLS)
 
     from ..functions.analysis import tokenize_pandas
+    from .fastbuild import build_shard_fast, supports_fast_path
+
+    fast = supports_fast_path(cfg)
+
+    def finish(shard: int, doc_ids: np.ndarray, texts) -> pd.DataFrame:
+        if fast:
+            return build_shard_fast(shard, doc_ids, texts, cfg, avgdl,
+                                    POSTINGS_COLS)
+        toks = tokenize_pandas(pd.Series(texts), cfg).to_numpy()
+        return build_shard(shard, list(doc_ids), list(toks))
 
     def index_partition(batches):
-        # Tokenize HERE (python, oracle-twin regex) rather than JVM-side:
-        # shipping raw text over Arrow is ~2.5x fewer bytes than shipping
-        # token arrays, and the virtualized socket path is the bottleneck.
+        # Tokenize HERE (python) rather than JVM-side: shipping raw text
+        # over Arrow is ~2.5x fewer bytes than shipping token arrays, and
+        # the virtualized socket path is the bottleneck. Rows arrive sorted
+        # by (shard_id, doc_id), so micro-shards are contiguous runs —
+        # detected vectorized, never a per-row Python loop. The fast kernel
+        # (fastbuild.py) tokenizes/factorizes/encodes with zero per-token
+        # Python objects; non-default analysis configs use the generic path.
         cur = None
-        doc_ids: list = []
-        toks: list = []
+        id_chunks: list[np.ndarray] = []
+        txt_chunks: list[np.ndarray] = []
         for pdf in batches:
-            batch_toks = tokenize_pandas(pdf["text"], cfg)
-            for shard, doc_id, tk in zip(
-                    pdf["shard_id"].to_numpy(), pdf["doc_id"].to_numpy(),
-                    batch_toks.to_numpy()):
+            sh = pdf["shard_id"].to_numpy()
+            if not len(sh):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            txt = pdf["text"].to_numpy()
+            cuts = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+            bounds = np.concatenate(([0], cuts, [len(sh)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                shard = int(sh[s])
                 if shard != cur:
                     if cur is not None:
-                        yield build_shard(int(cur), doc_ids, toks)
-                    cur, doc_ids, toks = shard, [], []
-                doc_ids.append(doc_id)
-                toks.append(tk)
+                        yield finish(cur, np.concatenate(id_chunks),
+                                     np.concatenate(txt_chunks))
+                    cur, id_chunks, txt_chunks = shard, [], []
+                id_chunks.append(ids[s:e])
+                txt_chunks.append(txt[s:e])
         if cur is not None:
-            yield build_shard(int(cur), doc_ids, toks)
+            yield finish(cur, np.concatenate(id_chunks),
+                         np.concatenate(txt_chunks))
 
     return index_partition
 
@@ -297,8 +318,12 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     if not (resume and mf.read_checkpoint(index_dir, "level_0")):
         t0 = time.time()
         postings = build_postings(get_docs(), cfg, stats["avgdl"], partitions)
+        # level 0 is rewritten by the merge tree when one exists — write it
+        # with the cheap codec then; only a merge-less build serves from it
+        l0_codec = (cfg.intermediate_compression if n_iters > 0
+                    else cfg.compression)
         (postings.sortWithinPartitions("term", "first_doc")
-                 .write.mode("overwrite").option("compression", cfg.compression)
+                 .write.mode("overwrite").option("compression", l0_codec)
                  .partitionBy("shard_id").parquet(level0_path))
         mf.write_checkpoint(index_dir, "level_0", {
             "path": level0_path, "n_shards": partitions,

@@ -101,14 +101,38 @@ def publish_index(index_dir: str, serving_dir: str) -> dict[str, Any]:
     readers always see a complete index. Old snapshots are kept for rollback
     (callers prune). Requires a committed manifest — publishing a half-built
     dir fails up front, mirroring the reference's go-live-after-job-success
-    gate."""
+    gate.
+
+    Snapshot names are max(existing numeric suffix)+1, NOT a count of
+    existing dirs: counting would collide with the newest snapshot after a
+    caller prunes older ones, silently discarding the fresh snapshot while
+    'current' kept serving stale data. Publishing the same manifest twice is
+    detected by content (manifest.json byte equality with the live snapshot)
+    and returns without creating a new snapshot; an unexpected name collision
+    fails loudly instead of deleting anything."""
+    import filecmp
     import shutil
 
     manifest = read_manifest(index_dir)  # raises if not committed
     snaps = os.path.join(serving_dir, "snapshots")
     os.makedirs(snaps, exist_ok=True)
-    n = sum(1 for e in os.scandir(snaps) if e.name.startswith("snap_"))
-    name = f"snap_{n:06d}"
+
+    # idempotent rerun: current already serves a snapshot of this exact index
+    current = os.path.join(serving_dir, "current")
+    if os.path.islink(current):
+        live_manifest = os.path.join(os.path.realpath(current), "manifest.json")
+        if os.path.isfile(live_manifest) and filecmp.cmp(
+                os.path.join(index_dir, "manifest.json"), live_manifest,
+                shallow=False):
+            return {"serving": current,
+                    "snapshot": os.path.realpath(current),
+                    "shards": manifest["shards"],
+                    "n_docs": manifest["stats"]["n_docs"],
+                    "rerun": True}
+
+    nums = [int(e.name[5:]) for e in os.scandir(snaps)
+            if e.name.startswith("snap_") and e.name[5:].isdigit()]
+    name = f"snap_{(max(nums) + 1 if nums else 0):06d}"
     dst = os.path.join(snaps, name)
 
     def _link_or_copy(src: str, d: str) -> None:
@@ -120,10 +144,11 @@ def publish_index(index_dir: str, serving_dir: str) -> dict[str, Any]:
     tmp = dst + ".inprogress"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.copytree(index_dir, tmp, copy_function=_link_or_copy)
-    if os.path.isdir(dst):  # rerun of the same publish: snapshot already live
-        shutil.rmtree(tmp)
-    else:
-        os.replace(tmp, dst)
+    if os.path.exists(dst):  # max+1 naming makes this unreachable except
+        shutil.rmtree(tmp)   # under a concurrent publisher — fail loudly
+        raise FileExistsError(
+            f"snapshot {dst} appeared concurrently; retry publish")
+    os.replace(tmp, dst)
     # atomic symlink swap: create-then-rename (rename of a symlink is atomic)
     current = os.path.join(serving_dir, "current")
     tmp_link = os.path.join(serving_dir, f".current.{os.getpid()}.tmp")

@@ -144,8 +144,12 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         if ck is None:
             import time
             t0 = time.time()
+            # inner levels are rewritten by the next iteration — cheap codec;
+            # the final level (served forever) gets the dense one
+            codec = (cfg.compression if it == n_iters
+                     else cfg.intermediate_compression)
             path, cur = merge_level(spark, index_dir, it - 1, fanout, cur,
-                                    compression=cfg.compression)
+                                    compression=codec)
             segs = (segment_metrics(spark, path) if it == n_iters
                     else rollup_metrics(prev_segments, fanout))
             mf.write_checkpoint(index_dir, phase, {
@@ -203,7 +207,8 @@ def merge_indexes(spark: SparkSession, input_dirs: list[str],
     os.makedirs(out_dir, exist_ok=True)
     n_docs = sum(int(m["stats"]["n_docs"]) for m in manifests)
     total_tokens = sum(int(m["stats"]["total_tokens"]) for m in manifests)
-    avgdl = total_tokens / n_docs
+    avgdl = total_tokens / n_docs if n_docs else 0.0  # all-empty inputs →
+    # empty merged index rather than ZeroDivisionError
 
     # micro-shard namespace width per input = max doc-id high bits + 1,
     # derived from the docmap itself (parquet min/max stats make this a

@@ -111,7 +111,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str],
-                 max_bucket_size: int | None) -> DataFrame:
+                 max_bucket_size: int | None,
+                 metrics: dict | None = None,
+                 name: str = "bucket_cap") -> DataFrame:
     """Drop degenerate LSH buckets (size > cap) before the self-join.
 
     A corpus with m mass-duplicated docs puts all m in one bucket in EVERY
@@ -119,18 +121,61 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     job. Capping bounds the join at cap² per bucket. The dropped pairs are
     exact/near-exact duplicate cliques — the standard pipeline removes those
     with exact_dedup first (capping is the common practice trade, e.g.
-    Spark MLlib's MinHashLSH leaves it to the caller entirely)."""
+    Spark MLlib's MinHashLSH leaves it to the caller entirely).
+
+    Dropped work is never silent: pass `metrics` (a dict) and the cap
+    attaches a named Observation (reference analog: the tool counts every
+    skipped doc, SolrCounters.java:23-39). After any action on the returned
+    frame, ``collect_cap_metrics(metrics)`` yields exact counts:
+    dropped_rows (banded rows removed), dropped_buckets (distinct
+    (band,bucket) groups removed), max_bucket_seen."""
     if max_bucket_size is None:
         return banded
     from pyspark.sql import Window
     w = Window.partitionBy(*keys)
-    return (banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-                  .where(F.col("_bsz") <= max_bucket_size)
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    if metrics is not None:
+        from pyspark.sql import Observation
+        over = F.col("_bsz") > max_bucket_size
+        # one marker row per bucket so dropped_buckets counts groups, not rows
+        first = F.row_number().over(w.orderBy(*keys)) == 1
+        banded = banded.withColumn("_bfirst", first)
+        obs = Observation(name)
+        banded = banded.observe(
+            obs,
+            F.sum(over.cast("long")).alias("dropped_rows"),
+            F.sum((over & F.col("_bfirst")).cast("long")).alias("dropped_buckets"),
+            F.max("_bsz").alias("max_bucket_seen"))
+        metrics[name] = obs
+        banded = banded.drop("_bfirst")
+    return (banded.where(F.col("_bsz") <= max_bucket_size)
                   .drop("_bsz"))
 
 
+def collect_cap_metrics(metrics: dict) -> dict[str, dict]:
+    """Resolve the cap metrics (Observations or lazy one-row DataFrames)
+    into plain dicts — blocking until the observed action has run / running
+    the audit aggregation — and log any nonzero drop so truncation is
+    visible in operational logs, never silent."""
+    import logging
+    out: dict[str, dict] = {}
+    log = logging.getLogger(__name__)
+    for name, obs in metrics.items():
+        if isinstance(obs, DataFrame):
+            got = {k: (0 if v is None else v)
+                   for k, v in obs.first().asDict().items()}
+        else:
+            got = dict(obs.get)
+        out[name] = got
+        if got.get("dropped_rows") or got.get("dropped_shingles"):
+            log.warning("scale cap '%s' dropped work: %s", name, got)
+    return out
+
+
 def _bucket_pair_candidates(banded: DataFrame, id_col: str,
-                            max_bucket_size: int | None) -> DataFrame:
+                            max_bucket_size: int | None,
+                            metrics: dict | None = None,
+                            name: str = "bucket_cap") -> DataFrame:
     """(band, bucket, id) rows → distinct candidate id pairs via a NARROW
     self-join: only (band, bucket, id) shuffles; payload columns
     (signatures/vectors) are joined back by id afterwards, keeping the
@@ -138,7 +183,8 @@ def _bucket_pair_candidates(banded: DataFrame, id_col: str,
     pair enumerator was measured 16x SLOWER here: LSH buckets are mostly
     singletons, and python-worker overhead per tiny group dwarfs the JVM
     join, which handles singletons for free.)"""
-    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size,
+                          metrics, name)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (left.join(right, ["band", "bucket"])
@@ -153,10 +199,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       jaccard_threshold: float = 0.5, seed: int = 42,
                       max_bucket_size: int | None = 5000,
                       hash_family: str = "xxhash64",
-                      cfg: IndexConfig | None = None) -> DataFrame:
+                      cfg: IndexConfig | None = None,
+                      metrics: dict | None = None) -> DataFrame:
     """Near-dup pairs: band the signatures, bucket-join, verify estimated
     Jaccard (fraction of agreeing permutations) ≥ threshold. Buckets larger
-    than max_bucket_size are dropped (see _cap_buckets). hash_family='md5'
+    than max_bucket_size are dropped — pass `metrics` to get exact dropped
+    counts (see _cap_buckets / collect_cap_metrics). hash_family='md5'
     makes the whole pipeline DuckDB-replayable (driver oracle)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -173,7 +221,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                           band_str if hash_family == "md5"
                           else F.xxhash64(band_str))
               .select(id_col, "band", "bucket"))
-    cand = _bucket_pair_candidates(banded, id_col, max_bucket_size)
+    cand = _bucket_pair_candidates(banded, id_col, max_bucket_size,
+                                   metrics, "minhash_bucket_cap")
     # signatures rejoin by id (narrow keys; AQE broadcasts at small scale)
     cand = (cand
             .join(sigs.select(F.col(id_col).alias("id_a"),
@@ -229,12 +278,13 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        max_bucket_size: int | None = 5000,
                        hash_family: str = "xxhash64",
-                       cfg: IndexConfig | None = None) -> DataFrame:
+                       cfg: IndexConfig | None = None,
+                       metrics: dict | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: 4 bands of 16 bits (pigeonhole: hamming ≤ 3
     ⇒ at least one band identical), bucket join, verify exact hamming.
     The 'md5' family uses 60-bit signatures in 4 bands of 15 bits (same
-    pigeonhole guarantee). Buckets larger than max_bucket_size are dropped
-    (see _cap_buckets)."""
+    pigeonhole guarantee). Buckets larger than max_bucket_size are dropped —
+    pass `metrics` for exact dropped counts (see _cap_buckets)."""
     bits = 60 if hash_family == "md5" else 64
     sh = simhash(df, text_col, id_col, bits=bits, hash_family=hash_family,
                  cfg=cfg)
@@ -245,7 +295,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("simhash64", bi * width).bitwiseAND(F.lit(mask))
             for bi in range(bands)])).alias("band", "bucket"))
-    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size,
+                          metrics, "simhash_bucket_cap")
     left = banded.select(F.col(id_col).alias("id_a"),
                          F.col("simhash64").alias("h_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"),
@@ -262,7 +313,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
                         max_shingle_df: int | None = 100_000,
-                        cfg: IndexConfig | None = None) -> DataFrame:
+                        cfg: IndexConfig | None = None,
+                        metrics: dict | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate generation by shared
     shingle (inverted shingle join — only pairs sharing ≥1 shingle are
     scored), then |A∩B| / (|A|+|B|-|A∩B|) computed relationally. This is the
@@ -288,6 +340,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ex = sh.select(F.col(id_col), "card", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
         gdf = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_gdf"))
+        if metrics is not None:
+            # a lazy one-row metrics frame, not an Observation: this plan
+            # self-joins the capped frame, and Spark's relation deduplication
+            # re-ids one copy of an embedded CollectMetrics node so the
+            # observation never fires (verified empirically on Spark 4.1);
+            # the recompute here is one shuffle over (shingle, df) pairs and
+            # runs only when the caller asks for the audit
+            over = F.col("_gdf") > max_shingle_df
+            metrics["shingle_df_cap"] = gdf.agg(
+                F.sum(over.cast("long")).alias("dropped_shingles"),
+                F.sum(F.when(over, F.col("_gdf")).otherwise(0))
+                 .cast("long").alias("dropped_occurrences"),
+                F.max("_gdf").alias("max_shingle_df_seen"))
         ex = ex.join(gdf.where(F.col("_gdf") <= max_shingle_df).select("g"), "g")
     a = ex.select(F.col(id_col).alias("id_a"), F.col("card").alias("card_a"), "g")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("card").alias("card_b"), "g")
@@ -318,14 +383,20 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
                          n_planes: int = 32, bands: int = 8, seed: int = 42,
                          dim: int | None = None,
                          quantize: int | None = None,
-                         max_bucket_size: int | None = 5000) -> DataFrame:
+                         max_bucket_size: int | None = 5000,
+                         metrics: dict | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs. Scale path: banded random-hyperplane
     LSH (bands × (n_planes/bands)-bit signatures: a pair is a candidate if
-    ANY band matches, the minhash-banding recall shape) → bucket join → exact
-    float64 cosine verify. quantize=Q buckets on integer-rounded
-    vectors/planes so the sign of every dot product is exact integer math —
-    platform-independent and DuckDB-oracle-replayable; buckets above
-    max_bucket_size are dropped (see _cap_buckets)."""
+    ANY band matches, the minhash-banding recall shape) → NARROW bucket join
+    on (band, bucket, id) only → vectors rejoined BY ID for the exact float64
+    cosine verify. The band join never carries the embedding column: a
+    1k-dim float vector shuffled ×bands and duplicated into both join sides
+    would be the job's entire shuffle at 100 TB, while id keys are ~16 bytes
+    (same economics as minhash_lsh_pairs via _bucket_pair_candidates).
+    quantize=Q buckets on integer-rounded vectors/planes so the sign of every
+    dot product is exact integer math — platform-independent and
+    DuckDB-oracle-replayable; buckets above max_bucket_size are dropped —
+    pass `metrics` for exact dropped counts (see _cap_buckets)."""
     assert n_planes % bands == 0
     r = n_planes // bands
     if dim is None:
@@ -345,18 +416,17 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
             out[:, i // r] |= bits[:, i] << (i % r)
         return pd.Series(list(out))
 
-    sigs = df.select(F.col(id_col), F.col(vec_col),
-                     F.posexplode(band_sigs(F.col(vec_col)))
-                      .alias("band", "bucket"))
-    sigs = _cap_buckets(sigs, ["band", "bucket"], max_bucket_size)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-                    "band", "bucket")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-                    "band", "bucket")
-    cand = (a.join(b, ["band", "bucket"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "v_a", "v_b")
-             .dropDuplicates(["id_a", "id_b"]))
+    banded = df.select(F.col(id_col),
+                       F.posexplode(band_sigs(F.col(vec_col)))
+                        .alias("band", "bucket"))
+    cand = _bucket_pair_candidates(banded, id_col, max_bucket_size,
+                                   metrics, "embedding_bucket_cap")
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    cand = (cand
+            .join(vecs.select(F.col(id_col).alias("id_a"),
+                              F.col(vec_col).alias("v_a")), "id_a")
+            .join(vecs.select(F.col(id_col).alias("id_b"),
+                              F.col(vec_col).alias("v_b")), "id_b"))
 
     @F.pandas_udf("double")
     def cosine(va: pd.Series, vb: pd.Series) -> pd.Series:

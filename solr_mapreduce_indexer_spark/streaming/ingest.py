@@ -107,7 +107,8 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     # recomputes bounds from (max_tf, min_dl) with the global avgdl.
     postings = build_postings(docs, cfg, avgdl_batch, cfg.shards)
     (postings.sortWithinPartitions("term", "first_doc")
-             .write.mode("overwrite").option("compression", cfg.compression)
+             .write.mode("overwrite")
+             .option("compression", cfg.intermediate_compression)
              .partitionBy("shard_id").parquet(seg_path))
     docs.unpersist()
 

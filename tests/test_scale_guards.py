@@ -29,15 +29,72 @@ def dup_heavy_docs(spark):
 def test_minhash_bucket_cap_bounds_output(dup_heavy_docs):
     # uncapped, the 5k-dup bucket alone is ~12.5M pairs × 16 bands; with the
     # cap the degenerate bucket is dropped and the job stays tiny
+    metrics: dict = {}
     got = minhash_lsh_pairs(dup_heavy_docs, num_perm=16, bands=4,
-                            jaccard_threshold=0.5, max_bucket_size=100)
+                            jaccard_threshold=0.5, max_bucket_size=100,
+                            metrics=metrics)
     assert got.count() == 0  # only the degenerate clique collides
+    # dropped work is observable, not silent: the 5000-doc clique lands in
+    # one bucket per band (4 bands) → exactly 4 dropped buckets, 20000 rows
+    from solr_mapreduce_indexer_spark.operators.dedupe_ops import (
+        collect_cap_metrics)
+    caps = collect_cap_metrics(metrics)["minhash_bucket_cap"]
+    assert caps["dropped_buckets"] == 4
+    assert caps["dropped_rows"] == 4 * 5000
+    assert caps["max_bucket_seen"] == 5000
 
 
 def test_simhash_bucket_cap_bounds_output(dup_heavy_docs):
+    metrics: dict = {}
     got = simhash_near_pairs(dup_heavy_docs, max_hamming=3,
-                             max_bucket_size=100)
+                             max_bucket_size=100, metrics=metrics)
     assert got.count() == 0
+    from solr_mapreduce_indexer_spark.operators.dedupe_ops import (
+        collect_cap_metrics)
+    caps = collect_cap_metrics(metrics)["simhash_bucket_cap"]
+    # identical docs share one simhash → one degenerate bucket per band
+    assert caps["dropped_buckets"] >= 4
+    assert caps["dropped_rows"] >= 4 * 5000
+    assert caps["max_bucket_seen"] >= 5000
+
+
+def test_embedding_bucket_cap_metrics(spark):
+    import numpy as np
+    from solr_mapreduce_indexer_spark.operators.dedupe_ops import (
+        collect_cap_metrics, embedding_near_pairs)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    vecs = [list(map(float, base))] * 300 \
+        + [list(map(float, rng.standard_normal(8))) for _ in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs}))
+    metrics: dict = {}
+    got = embedding_near_pairs(df, threshold=0.99, n_planes=16, bands=4,
+                               dim=8, max_bucket_size=50, metrics=metrics)
+    got.count()
+    caps = collect_cap_metrics(metrics)["embedding_bucket_cap"]
+    # 300 identical vectors share every band bucket → ≥4 dropped buckets
+    assert caps["dropped_buckets"] >= 4
+    assert caps["dropped_rows"] >= 4 * 300
+    assert caps["max_bucket_seen"] >= 300
+
+
+def test_ngram_shingle_cap_metrics(spark):
+    from solr_mapreduce_indexer_spark.operators.dedupe_ops import (
+        collect_cap_metrics)
+    texts = [f"shared prefix tokens here then unique {i} {i * 13}"
+             for i in range(100)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    metrics: dict = {}
+    ngram_jaccard_pairs(df, n=3, threshold=0.2, max_shingle_df=50,
+                        metrics=metrics).count()
+    caps = collect_cap_metrics(metrics)["shingle_df_cap"]
+    # 'shared prefix tokens', 'prefix tokens here', 'tokens here then' have
+    # df=100 > 50; 'here then unique' too → 4 shingles × 100 docs dropped
+    assert caps["dropped_shingles"] == 4
+    assert caps["dropped_occurrences"] == 400
+    assert caps["max_shingle_df_seen"] == 100
 
 
 def test_ngram_shingle_cap(spark):
@@ -96,6 +153,8 @@ def test_publish_atomic_swap(spark, tmp_path):
     from solr_mapreduce_indexer_spark.query.bm25 import bm25_topk, load_index
     from solr_mapreduce_indexer_spark.sources.transcripts import synth_transcripts
 
+    import shutil
+
     tr = synth_transcripts(spark, n_convs=40, turns_per_conv=4)
     idx = str(tmp_path / "idx")
     serving = str(tmp_path / "serving")
@@ -107,10 +166,26 @@ def test_publish_atomic_swap(spark, tmp_path):
     # the published snapshot is a complete, queryable index
     h = load_index(current)
     assert bm25_topk(spark, h, ["tok00001"], k=3).count() > 0
-    # re-publish creates a second snapshot and swaps the link
+    # re-publish of the SAME manifest is an idempotent rerun: no new snapshot
     out2 = publish_index(idx, serving)
-    assert out2["snapshot"].endswith("snap_000001")
+    assert out2.get("rerun") is True
+    assert os.readlink(current).endswith("snap_000000")
+    # a CHANGED index publishes as the next snapshot and swaps the link
+    idx2 = str(tmp_path / "idx2")
+    tr2 = synth_transcripts(spark, n_convs=50, turns_per_conv=4)
+    build_index(spark, tr2, IndexConfig(shards=2), idx2)
+    out3 = publish_index(idx2, serving)
+    assert out3["snapshot"].endswith("snap_000001")
     assert os.readlink(current).endswith("snap_000001")
+    # REGRESSION (round-2 advice): after pruning an OLD snapshot, the next
+    # publish must not collide with the newest one — names are max+1, not a
+    # count of existing dirs (count-naming silently deleted the fresh
+    # snapshot and left 'current' serving stale data forever)
+    shutil.rmtree(os.path.join(serving, "snapshots", "snap_000000"))
+    out4 = publish_index(idx, serving)
+    assert out4["snapshot"].endswith("snap_000002")
+    assert os.readlink(current).endswith("snap_000002")
+    assert bm25_topk(spark, load_index(current), ["tok00001"], k=3).count() > 0
     # publishing an uncommitted dir fails up front
     with pytest.raises(FileNotFoundError):
         publish_index(str(tmp_path / "not_an_index"), serving)
