@@ -64,9 +64,16 @@ def read_checkpoint(index_dir: str, phase: str) -> dict[str, Any] | None:
 
 
 def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
-                   levels: list[dict[str, Any]], input_path: str) -> dict[str, Any]:
+                   levels: list[dict[str, Any]], input_path: str,
+                   tombstones: dict[str, Any] | None = None) -> dict[str, Any]:
     """Final manifest = the index's commit point (analog of the Lucene
-    segments_N file + the reference's commitTimeMSec commit data)."""
+    segments_N file + the reference's commitTimeMSec commit data).
+
+    `tombstones` ({path, n}) marks doc ids that lost a duplicate-key
+    resolution at merge/finalize time and must be subtracted by readers —
+    the Lucene live-docs analog: postings keep the bytes until a compaction
+    rewrites them (reference resolves every collision before serving,
+    SolrReducer.java:80-108)."""
     manifest = {
         "format_version": 1,
         "input": input_path,
@@ -76,6 +83,8 @@ def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
         "final_level": levels[-1]["level"] if levels else 0,
         "shards": (cfg["shards"] if isinstance(cfg, dict) else cfg.shards),
     }
+    if tombstones:
+        manifest["tombstones"] = _relativize(index_dir, tombstones)
     fd, tmp = tempfile.mkstemp(dir=index_dir, prefix=".manifest.", suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1, default=str)
@@ -87,6 +96,8 @@ def read_manifest(index_dir: str) -> dict[str, Any]:
     with open(os.path.join(index_dir, "manifest.json")) as f:
         m = json.load(f)
     m["levels"] = [_rebase(index_dir, lv) for lv in m.get("levels", [])]
+    if m.get("tombstones"):
+        m["tombstones"] = _rebase(index_dir, m["tombstones"])
     return m
 
 

@@ -54,11 +54,15 @@ def merge_level(spark: SparkSession, index_dir: str, level: int,
     return dst_path, n_out
 
 
-def _compact_mapper(cfg: IndexConfig, avgdl: float):
+def _compact_mapper(cfg: IndexConfig, avgdl: float, tomb_bc=None):
     """applyInPandas kernel: all blocks of one (shard, term) → re-encoded
     full-size blocks (decode + concat + encode). Exactness: tf/doc/len values
-    round-trip the codec; max_tfnorm recomputed from the same avgdl."""
+    round-trip the codec; max_tfnorm recomputed from the same avgdl.
+    `tomb_bc` (broadcast of sorted doc ids) are PURGED — the Lucene
+    merge-applies-deletes lifecycle."""
     def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .build import POSTINGS_COLS as _COLS
+        tombstones = tomb_bc.value if tomb_bc is not None else None
         pdf = pdf.sort_values("first_doc")
         docs, tfs, lens = [], [], []
         for r in pdf.itertuples(index=False):
@@ -66,6 +70,13 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float):
                                     r.first_doc)
             docs.append(d); tfs.append(t); lens.append(ln)
         d = np.concatenate(docs); t = np.concatenate(tfs); ln = np.concatenate(lens)
+        if tombstones is not None and len(tombstones):
+            pos = np.searchsorted(tombstones, d)
+            pos = np.clip(pos, 0, len(tombstones) - 1)
+            keep = tombstones[pos] != d
+            d, t, ln = d[keep], t[keep], ln[keep]
+            if not len(d):
+                return pd.DataFrame(columns=_COLS)
         shard = int(pdf["shard_id"].iloc[0]); term = pdf["term"].iloc[0]
         # explicit column order — a partitioned-parquet read reorders input
         # columns (partition col last), so pdf.columns must not be reused
@@ -80,23 +91,32 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float):
     return compact
 
 
-def compact_level(spark: SparkSession, index_dir: str, level: int,
-                  cfg: IndexConfig, avgdl: float, n_shards: int) -> str:
+def compact_level(spark: SparkSession, src_path: str,
+                  cfg: IndexConfig, avgdl: float, n_shards: int,
+                  tombstones: np.ndarray | None = None) -> str:
     """forceMerge(maxSegments) analog: rewrite a level so every (shard, term)
     posting list uses full blocks (fragmentation from chunked encoding / tree
     merge gone), leaving at most cfg.max_segments files per shard directory
     (reference --max-segments, default 1,
     MapReduceIndexerToolArgumentParser.java:269-283; BatchWriter.java:205-208).
 
+    `src_path` is the level's MANIFEST path, not a level number — merged
+    (`merged_0`) and stream-finalized (`stream_final`) indexes don't follow
+    the `level_N` naming, and deriving the path from the number read the
+    wrong (nonexistent) directory for them.
+
     max_segments > 1 trades file count for write parallelism: each shard's
     rows are salted into max_segments groups by term hash (a term's blocks
     stay within one file), so a shard is written by up to max_segments tasks."""
     from .build import POSTINGS_SCHEMA
-    src = spark.read.parquet(level_path(index_dir, level))
-    dst = level_path(index_dir, level) + "_compact"
+    src = spark.read.parquet(src_path)
+    dst = src_path.rstrip("/") + "_compact"
     m = max(1, int(cfg.max_segments))
+    tomb_bc = (spark.sparkContext.broadcast(tombstones)
+               if tombstones is not None and len(tombstones) else None)
     out = (src.groupBy("shard_id", "term")
-           .applyInPandas(_compact_mapper(cfg, avgdl), schema=POSTINGS_SCHEMA))
+           .applyInPandas(_compact_mapper(cfg, avgdl, tomb_bc),
+                          schema=POSTINGS_SCHEMA))
     if m == 1:
         out = out.repartition(n_shards, "shard_id")
     else:
@@ -163,6 +183,47 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         prev_segments = ck.get("segments", [])
         levels.append(ck | {"level": it})
     return levels
+
+
+def resolve_duplicate_keys(spark: SparkSession, docmap_path: str,
+                           cfg: IndexConfig, out_dir: str) -> tuple[dict | None, int]:
+    """Resolve unique-key collisions across combined docmaps into tombstones.
+
+    Reference semantics: every key collision is resolved at reduce time
+    before the index serves (SolrReducer.java:80-108, default
+    RetainMostRecentUpdateConflictResolver). Our combined indexes
+    (merge-indexes inputs, stream generations) can collide across inputs;
+    committed posting segments are immutable (exactly like Lucene segments),
+    so the losers become TOMBSTONES — a (shard_id, doc_id) parquet the query
+    kernel and validator subtract, and `compact` purges physically (the
+    Lucene deleted-docs lifecycle).
+
+    Winner per (conv_id, turn_idx): greatest (order_by_field, doc_id) — the
+    most recent update, ties to the later-appended input. 'reject' resolvers
+    fail loudly instead. Metadata-only: one window over the docmap, never a
+    posting read. Returns (manifest tombstones entry | None, n)."""
+    from pyspark.sql import Window
+
+    dm = spark.read.parquet(docmap_path)
+    w = Window.partitionBy("conv_id", "turn_idx") \
+              .orderBy(F.desc(cfg.order_by_field), F.desc("doc_id"))
+    losers = (dm.select("shard_id", "doc_id", "conv_id", "turn_idx",
+                        cfg.order_by_field)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") > 1)
+                .select("shard_id", "doc_id"))
+    n = losers.count()
+    if n == 0:
+        return None, 0
+    if cfg.conflict_resolver in ("reject", "reject_conflicts"):
+        raise ValueError(
+            f"{n} duplicate keys across combined inputs and resolver is "
+            f"'{cfg.conflict_resolver}' — rejecting (reference "
+            "RejectingUpdateConflictResolver semantics)")
+    path = os.path.join(out_dir, "tombstones")
+    (losers.repartition(max(1, n // 5_000_000 + 1))
+           .write.mode("overwrite").parquet(path))
+    return {"path": path, "n": n}, n
 
 
 def merge_indexes(spark: SparkSession, input_dirs: list[str],
@@ -278,11 +339,15 @@ def merge_indexes(spark: SparkSession, input_dirs: list[str],
        .write.mode("overwrite").parquet(term_stats_path))
     n_terms = spark.read.parquet(term_stats_path).count()
 
+    # --- duplicate-key resolution across inputs → tombstones ---------------
+    tombs, n_tombs = resolve_duplicate_keys(spark, docmap_path, base, out_dir)
+
     import dataclasses
     merged_cfg = dataclasses.replace(base, shards=n_shards,
                                      reducers=sum(micros))
     stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
-             "n_terms": n_terms}
+             "n_terms": n_terms, "n_tombstones": n_tombs,
+             "n_live_docs": n_docs - n_tombs}
     level = {"level": 0, "path": level_path, "n_shards": n_shards,
              "segments": segment_metrics(spark, level_path),
              "lineage": {"merged_from": [os.path.abspath(d)
@@ -295,7 +360,8 @@ def merge_indexes(spark: SparkSession, input_dirs: list[str],
                         {"path": term_stats_path, "n_terms": n_terms})
     mf.write_checkpoint(out_dir, "level_0", level)
     return mf.write_manifest(out_dir, merged_cfg, stats, [level],
-                             input_path=f"merge_indexes:{len(input_dirs)}")
+                             input_path=f"merge_indexes:{len(input_dirs)}",
+                             tombstones=tombs)
 
 
 def compact_final(spark: SparkSession, index_dir: str,
@@ -304,7 +370,13 @@ def compact_final(spark: SparkSession, index_dir: str,
     level so every (shard, term) posting list uses full-size blocks in at
     most max_segments files per shard, then recommit the manifest pointing at
     the compacted level (TreeMergeOutputFormat.java:170-183). max_segments
-    overrides the index config's value when given."""
+    overrides the index config's value when given.
+
+    Tombstoned docs (duplicate-key losers from merge-indexes / stream
+    finalize) are PURGED here — postings rewritten without them, the docmap
+    filtered to live docs, stats and term_stats recomputed — exactly the
+    Lucene merge-applies-deletes lifecycle; the recommitted manifest carries
+    no tombstones."""
     import dataclasses
 
     from ..config import IndexConfig
@@ -318,10 +390,53 @@ def compact_final(spark: SparkSession, index_dir: str,
     final = m["levels"][-1]
     if final.get("compacted"):
         return m
-    level_no = int(final["level"])
-    path = compact_level(spark, index_dir, level_no, cfg,
-                         float(m["stats"]["avgdl"]), int(final["n_shards"]))
+    stats = dict(m["stats"])
+
+    tomb_ids = None
+    if m.get("tombstones"):
+        tomb_ids = np.sort(
+            spark.read.parquet(m["tombstones"]["path"])
+                 .select("doc_id").toPandas()["doc_id"].to_numpy(np.int64))
+        # live docmap first: stats for the purged index come from it
+        docmap_path = os.path.join(index_dir, "docmap")
+        live_path = docmap_path + "_live"
+        dm = spark.read.parquet(docmap_path)
+        tdf = spark.read.parquet(m["tombstones"]["path"]).select("doc_id")
+        live = dm.join(tdf, "doc_id", "left_anti")
+        (live.repartition(int(final["n_shards"]), "shard_id")
+             .write.mode("overwrite").option("compression", cfg.compression)
+             .partitionBy("shard_id").parquet(live_path))
+        agg = (spark.read.parquet(live_path)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("doc_len").alias("avgdl"),
+                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tt"))
+               .collect()[0])
+        import shutil
+        shutil.rmtree(docmap_path)
+        os.replace(live_path, docmap_path)
+        stats = {"n_docs": int(agg["n"]),
+                 "avgdl": float(agg["avgdl"] or 0.0),
+                 "total_tokens": int(agg["tt"])}
+
+    path = compact_level(spark, final["path"], cfg,
+                         float(stats["avgdl"]), int(final["n_shards"]),
+                         tombstones=tomb_ids)
+
+    if tomb_ids is not None:
+        # term_stats from the purged block metadata (same recipe as build)
+        term_stats_path = os.path.join(index_dir, "term_stats")
+        ts = (spark.read.parquet(path)
+              .groupBy("term")
+              .agg(F.sum("n").cast("long").alias("df"),
+                   F.sum("sum_tf").cast("long").alias("cf")))
+        n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+        (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
+           .write.mode("overwrite").parquet(term_stats_path))
+        stats["n_terms"] = spark.read.parquet(term_stats_path).count()
+        import shutil
+        shutil.rmtree(m["tombstones"]["path"], ignore_errors=True)
+
     levels = m["levels"][:-1] + [dict(final, path=path, compacted=True,
                                       segments=segment_metrics(spark, path))]
-    return mf.write_manifest(index_dir, dataclasses.asdict(cfg), m["stats"],
-                             levels, m["input"])
+    return mf.write_manifest(index_dir, dataclasses.asdict(cfg), stats,
+                             levels, m["input"], tombstones=None)

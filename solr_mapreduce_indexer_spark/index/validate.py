@@ -145,6 +145,19 @@ def validate_index(spark: SparkSession, index_dir: str,
     stats_ok = (int(dm["n"]) == int(m["stats"]["n_docs"])
                 and abs(float(dm["avgdl"]) - avgdl) < 1e-9)
 
+    # Unique-key integrity: after subtracting tombstones (duplicate-key
+    # losers recorded by merge-indexes / stream finalize), no two LIVE docs
+    # may share (conv_id, turn_idx) — the reference's reducer guarantees
+    # this before serving (SolrReducer.java:80-108); an index violating it
+    # silently serves both versions of a document.
+    live = docmap
+    if m.get("tombstones"):
+        tdf = (spark.read.parquet(m["tombstones"]["path"])
+               .select("doc_id"))
+        live = docmap.join(tdf, "doc_id", "left_anti")
+    live_dup_keys = (live.groupBy("conv_id", "turn_idx").count()
+                     .where(F.col("count") > 1).count())
+
     # Tokenizer-dialect drift check: postings tokenize in Python
     # (tokenize_pandas in the shard kernel) while docmap doc_len uses the JVM
     # regexp — if the two dialects ever diverge (custom token_pattern,
@@ -166,10 +179,11 @@ def validate_index(spark: SparkSession, index_dir: str,
     n_terms_checked = per_term.count()
     per_term.unpersist()
     ok = (n_block_errors == 0 and mismatches == 0 and stats_ok
-          and dl_mismatches <= 0)
+          and dl_mismatches <= 0 and live_dup_keys == 0)
     return {"ok": bool(ok),
             "n_terms_checked": int(n_terms_checked),
             "n_block_errors": int(n_block_errors),
             "df_cf_mismatches": int(mismatches),
             "doc_len_mismatches": int(dl_mismatches),
+            "live_duplicate_keys": int(live_dup_keys),
             "corpus_stats_ok": bool(stats_ok)}

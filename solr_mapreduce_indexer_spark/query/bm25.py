@@ -63,6 +63,7 @@ class IndexHandle:
     postings_path: str
     term_stats_path: str
     docmap_path: str
+    tombstones_path: str | None = None
 
 
 def load_index(index_dir: str) -> IndexHandle:
@@ -70,6 +71,7 @@ def load_index(index_dir: str) -> IndexHandle:
     cfg = IndexConfig(**{k: (tuple(v) if k == "stopwords" else v)
                          for k, v in m["config"].items()})
     final = m["levels"][-1]
+    tombs = m.get("tombstones")
     return IndexHandle(
         index_dir=index_dir,
         cfg=cfg,
@@ -78,6 +80,7 @@ def load_index(index_dir: str) -> IndexHandle:
         postings_path=final["path"],
         term_stats_path=os.path.join(index_dir, "term_stats"),
         docmap_path=os.path.join(index_dir, "docmap"),
+        tombstones_path=tombs["path"] if tombs else None,
     )
 
 
@@ -101,7 +104,8 @@ _EPS = 1e-9  # absolute slack on bound-vs-theta comparisons (scores are O(10))
 
 
 def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
-                        avgdl: float, k1: float, b: float):
+                        avgdl: float, k1: float, b: float,
+                        tombstones: np.ndarray | None = None):
     """applyInPandas kernel over one shard's blocks for the whole query
     batch. Input pdf: term, first_doc, last_doc, n, max_tfnorm, doc_bytes,
     tf_bytes, len_bytes. Output: query_id, doc_id, score (per-shard top-k
@@ -134,7 +138,10 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
 
         def decode_blocks(t: str, idx: np.ndarray):
             """Decode the given block ordinals of term t (per-block cache);
-            returns (doc_ids, bm25 contributions) concatenated."""
+            returns (doc_ids, bm25 contributions) concatenated. Tombstoned
+            docs (duplicate-key losers awaiting compaction) are dropped at
+            decode, before caching — Lucene live-docs semantics, so they can
+            never enter a candidate set or displace a live top-k doc."""
             firsts, _lasts, _ubs, db, tb, lb = term_meta(t)
             docs, contribs = [], []
             for i in idx:
@@ -143,6 +150,11 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                 if got is None:
                     d, tf, dl = decode_block(db[i], tb[i], lb[i],
                                              int(firsts[i]))
+                    if tombstones is not None and len(tombstones) and len(d):
+                        pos = np.clip(np.searchsorted(tombstones, d), 0,
+                                      len(tombstones) - 1)
+                        keep = tombstones[pos] != d
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
                     got = (d, idfs[t] * bm25_tfnorm(tf, dl, avgdl, k1, b))
                     block_cache[(t, i)] = got
                     DECODE_STATS["blocks_decoded"] += 1
@@ -309,6 +321,14 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     dfs = _lookup_dfs(spark, h, all_terms)
     idfs = {t: idf(h.n_docs, dfs.get(t, 0)) for t in all_terms}
 
+    tombs = None
+    if h.tombstones_path:
+        # sorted doc ids of duplicate-key losers; bounded by collision count
+        # (compact purges them physically and clears this path)
+        tombs = np.sort(
+            spark.read.parquet(h.tombstones_path)
+                 .select("doc_id").toPandas()["doc_id"].to_numpy(np.int64))
+
     norm_queries = [{"query_id": int(q["query_id"]),
                      "terms": sorted({t.lower() for t in q["terms"]}),
                      "mode": q.get("mode", "AND"),
@@ -332,7 +352,7 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     cand = (blocks.groupBy("shard_id")
             .applyInPandas(
                 _score_shard_kernel(norm_queries, idfs, h.avgdl,
-                                    cfg.k1, cfg.b),
+                                    cfg.k1, cfg.b, tombstones=tombs),
                 schema="query_id long, doc_id long, score double"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -29,8 +29,12 @@ Design:
   the block — no payload decode, no Python.
 * Cross-generation duplicate keys are NOT resolved at append time (the
   engine cannot delete from committed segments, same as Lucene segments
-  pre-merge); finalize counts them and records the count in the manifest so
-  callers can assert zero or schedule a rebuild.
+  pre-merge). ``finalize_stream_index`` RESOLVES them: the configured
+  resolver picks one winner per key (retain-most-recent by default) and the
+  losers become tombstones — subtracted by the query kernel and validator,
+  physically purged by ``compact`` (the Lucene deleted-docs lifecycle;
+  reference resolves every collision before serving,
+  SolrReducer.java:80-108).
 """
 
 from __future__ import annotations
@@ -205,9 +209,14 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     (dm.repartition(cfg.shards, "shard_id")
        .write.mode("overwrite").option("compression", cfg.compression)
        .partitionBy("shard_id").parquet(docmap_path))
-    dup_keys = (spark.read.parquet(docmap_path)
-                .groupBy("conv_id", "turn_idx").count()
-                .where(F.col("count") > 1).count())
+    # cross-generation duplicate keys: RESOLVED (not just counted) — the
+    # configured resolver picks one winner per key and losers become
+    # tombstones the query kernel/validator subtract and compact purges
+    # (reference resolves every collision before serving,
+    # SolrReducer.java:80-108)
+    from ..index.merge import resolve_duplicate_keys
+    tombs, dup_keys = resolve_duplicate_keys(spark, docmap_path, cfg,
+                                             index_dir)
 
     # --- postings: concat generations, re-bound block-max, sort, commit -----
     level_path = os.path.join(index_dir, "segments", "stream_final")
@@ -249,6 +258,8 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
                          "duplicate_keys": dup_keys}}
     mf.write_checkpoint(index_dir, "level_0", level)
     stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
-             "n_terms": n_terms, "duplicate_keys": dup_keys}
+             "n_terms": n_terms, "duplicate_keys": dup_keys,
+             "n_tombstones": dup_keys, "n_live_docs": n_docs - dup_keys}
     return mf.write_manifest(index_dir, cfg, stats, [level],
-                             input_path=f"stream:{len(gens)} generations")
+                             input_path=f"stream:{len(gens)} generations",
+                             tombstones=tombs)
