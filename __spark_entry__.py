@@ -51,17 +51,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _entry_index(spark: SparkSession, sf_dir: str):
-    """Build (or resume) the inverted index for sf_dir's derived transcripts."""
+def _entry_index(spark: SparkSession, sf_dir: str, positions: bool = False):
+    """Build (or resume) the inverted index for sf_dir's derived transcripts.
+    positions=True builds a separate positional index (PHRASE queries)."""
     from solr_mapreduce_indexer_spark.index.build import build_index
     from solr_mapreduce_indexer_spark.query.bm25 import load_index
 
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), positions)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    cfg = IndexConfig(shards=2, reducers=8, fanout=2)
+    cfg = IndexConfig(shards=2, reducers=8, fanout=2, positions=positions)
+    suffix = "_pos" if positions else ""
     idx_dir = os.path.join(
-        "/tmp", f"smis_entry_idx_v3_{os.path.basename(key.rstrip('/'))}")
+        "/tmp",
+        f"smis_entry_idx_v4_{os.path.basename(key[0].rstrip('/'))}{suffix}")
     tr = transcripts_from_documents(spark, sf_dir)
     build_index(spark, tr, cfg, idx_dir, input_path=f"{sf_dir}/documents.parquet")
     h = load_index(idx_dir)
@@ -75,7 +78,7 @@ def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], mode: str,
     by (rounded score desc, doc_id asc) for oracle determinism."""
     from solr_mapreduce_indexer_spark.query.bm25 import run_queries
 
-    h = _entry_index(spark, sf_dir)
+    h = _entry_index(spark, sf_dir, positions=(mode == "PHRASE"))
     pool = run_queries(spark, h, [{"query_id": 0, "terms": terms,
                                    "mode": mode, "k": max(100, 4 * k)}])
     orig_id = (F.regexp_extract("conv_id", "conv(\\d+)", 1).cast("long") * 8
@@ -115,6 +118,38 @@ def _bm25_oracle_sql(terms: list[str], mode: str, k: int = 10) -> str:
                doc_id, round(s, 4) AS score
         FROM sc {and_filter}
         ORDER BY rank LIMIT {k}
+    """
+
+
+def _bm25_phrase_oracle_sql(phrase: list[str], k: int = 10) -> str:
+    """DuckDB twin of the PHRASE mode: pf = count of positions where the
+    token array holds the phrase consecutively; score = (Σ idf) · tfnorm(pf)."""
+    conds = " AND ".join(f"tk[i+{j}] = '{t}'" for j, t in enumerate(phrase))
+    idf = " + ".join(
+        f"ln(1 + (st.n - dfr.df_{j} + 0.5) / (dfr.df_{j} + 0.5))"
+        for j in range(len(phrase)))
+    dfs = ", ".join(
+        f"count(*) FILTER (WHERE list_contains(tk, '{t}'))::DOUBLE AS df_{j}"
+        for j, t in enumerate(phrase))
+    span = len(phrase) - 1
+    return f"""
+        WITH toks AS (SELECT doc_id, {TOKENIZE_SQL} AS tk FROM documents),
+        st AS (SELECT count(*)::DOUBLE AS n,
+                      (SELECT sum(len(tk)) FROM toks)::DOUBLE / count(*) AS avgdl
+               FROM toks),
+        dfr AS (SELECT {dfs} FROM toks),
+        pf AS (SELECT doc_id, len(tk) AS dl,
+                      len([i for i in range(1, len(tk) - {span} + 1)
+                           if {conds}]) AS pf
+               FROM toks),
+        sc AS (SELECT doc_id,
+                 ({idf}) * pf * 2.2
+                   / (pf + 1.2 * (0.25 + 0.75 * dl / st.avgdl)) AS s
+               FROM pf CROSS JOIN st CROSS JOIN dfr
+               WHERE pf > 0)
+        SELECT row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS rank,
+               doc_id, round(s, 4) AS score
+        FROM sc ORDER BY rank LIMIT {k}
     """
 
 
@@ -212,6 +247,14 @@ def q_bm25_and(spark, sf_dir):
 def q_bm25_or(spark, sf_dir):
     """SURVEY §2.7 Q3/Q4/Q6: disjunctive BM25 top-10 via the index."""
     return _bm25(spark, sf_dir, BM25_OR_TERMS, "OR")
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """Exact-phrase BM25 top-10 via a positional index (positions=True):
+    Lucene PhraseQuery semantics — tf = consecutive-occurrence count,
+    weight = Σ idf of the phrase terms. The reference's Lucene 7.7.2 output
+    stores positions and serves exactly these queries (pom.xml:36-37)."""
+    return _bm25(spark, sf_dir, BM25_AND_TERMS, "PHRASE")
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -330,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_counts": q_routing_counts,
         "bm25_and": q_bm25_and,
         "bm25_or": q_bm25_or,
+        "bm25_phrase": q_bm25_phrase,
         "exact_dedup": q_exact_dedup,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -408,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_and": _bm25_oracle_sql(BM25_AND_TERMS, "AND"),
         "bm25_or": _bm25_oracle_sql(BM25_OR_TERMS, "OR"),
+        "bm25_phrase": _bm25_phrase_oracle_sql(BM25_AND_TERMS),
         "exact_dedup": f"""
             SELECT md5(array_to_string({TOKENIZE_SQL}, ' ')) AS content_md5,
                    min(doc_id)::BIGINT AS keep_id,

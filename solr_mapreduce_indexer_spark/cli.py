@@ -53,7 +53,8 @@ def _cfg_from(args) -> IndexConfig:
                        fanout=args.fanout, max_segments=args.max_segments,
                        conflict_resolver=args.conflict_resolver,
                        order_by_field=args.order_by_field,
-                       compression=args.compression)
+                       compression=args.compression,
+                       positions=getattr(args, "positions", False))
 
 
 def cmd_build(args) -> int:
@@ -237,6 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="FIELD=VALUE",
                    help="force a literal field value on every document "
                         "(repeatable; reference forced header overrides)")
+    b.add_argument("--positions", action="store_true",
+                   help="store term positions (enables PHRASE queries; "
+                        "~1 byte per occurrence extra)")
     b.add_argument("--no-resume", action="store_true",
                    help="ignore existing checkpoints; rebuild from scratch")
     b.add_argument("--dry-run", action="store_true")
@@ -301,7 +305,9 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="top-k BM25 over a built index")
     q.add_argument("--index-dir", required=True)
     q.add_argument("--terms", nargs="+", required=True)
-    q.add_argument("--mode", default="AND", choices=["AND", "OR"])
+    q.add_argument("--mode", default="AND", choices=["AND", "OR", "PHRASE"],
+                   help="PHRASE = exact consecutive-position match; needs "
+                        "an index built with positions enabled")
     q.add_argument("-k", type=int, default=10)
     _add_spark_args(q)
     q.set_defaults(fn=cmd_query)

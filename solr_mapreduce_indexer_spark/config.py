@@ -41,6 +41,12 @@ class IndexConfig:
                                    # base scheme — 2.5-4x faster decode,
                                    # smaller tf streams) or "varint" (LEB128).
                                    # Payloads are tagged, so mixed indexes read fine.
+    positions: bool = False        # store per-posting term positions (one
+                                   # extra FOR stream per block) and serve
+                                   # "PHRASE" queries — what the reference's
+                                   # Lucene 7.7.2 output stores by default
+                                   # (pom.xml:36-37). Off by default: ~1
+                                   # byte/occurrence extra index size.
     doc_bits: int = 40             # doc_id = (shard_id << doc_bits) | local_idx
     chunk_bits: int = 18           # retained for manifest compat; the fused
                                    # per-shard index kernel (build.py

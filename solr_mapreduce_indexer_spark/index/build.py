@@ -47,7 +47,8 @@ from .codec import encode_blocks
 POSTINGS_SCHEMA = ("shard_id int, term string, first_doc long, last_doc long, "
                    "n int, max_tf int, sum_tf long, min_dl int, "
                    "max_tfnorm double, "
-                   "doc_bytes binary, tf_bytes binary, len_bytes binary")
+                   "doc_bytes binary, tf_bytes binary, len_bytes binary, "
+                   "pos_bytes binary")
 POSTINGS_COLS = [f.split()[0] for f in POSTINGS_SCHEMA.split(", ")]
 
 
@@ -160,13 +161,17 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
                             blk["n"], blk["max_tf"], blk["sum_tf"],
                             blk["min_dl"], blk["max_tfnorm"],
                             blk["doc_bytes"], blk["tf_bytes"],
-                            blk["len_bytes"]))
+                            blk["len_bytes"], b""))
         return pd.DataFrame(out, columns=POSTINGS_COLS)
 
     from ..functions.analysis import tokenize_pandas
     from .fastbuild import build_shard_fast, supports_fast_path
 
     fast = supports_fast_path(cfg)
+    if cfg.positions and not fast:
+        raise ValueError("positions=True requires the vectorized kernel "
+                         "(posting_codec='for' and the default token "
+                         "pattern)")
 
     def finish(shard: int, doc_ids: np.ndarray, texts) -> pd.DataFrame:
         if fast:

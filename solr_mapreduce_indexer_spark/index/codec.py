@@ -99,8 +99,10 @@ def for_decode(buf: bytes | np.ndarray) -> np.ndarray:
 
 
 # payload tag (first byte) → codec; payloads are self-describing so an index
-# written with either codec reads back with the same decode_block
-_TAG_VARINT, _TAG_FOR = 0, 1
+# written with either codec reads back with the same decode_block.
+# Tag 2 = FOR with a 4-byte count: position streams hold up to
+# block_size × tf values, which can exceed the 2-byte count of tag 1.
+_TAG_VARINT, _TAG_FOR, _TAG_FOR32 = 0, 1, 2
 
 
 def encode_values(values: np.ndarray, codec: str = "for") -> bytes:
@@ -114,7 +116,58 @@ def encode_values(values: np.ndarray, codec: str = "for") -> bytes:
 def decode_values(buf: bytes) -> np.ndarray:
     if buf[0] == _TAG_FOR:
         return for_decode(memoryview(buf)[1:])
+    if buf[0] == _TAG_FOR32:
+        b = np.frombuffer(memoryview(buf)[1:], dtype=np.uint8)
+        nbits = int(b[0])
+        n = int.from_bytes(bytes(b[1:5]), "little")
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        if nbits < 1 or nbits > 64 or (n * nbits + 7) // 8 > len(b) - 5:
+            # corrupt header (e.g. a flipped tag byte): fail loudly instead
+            # of allocating a bogus-count buffer
+            raise ValueError("corrupt FOR32 payload header")
+        bits = np.unpackbits(b[5:], count=n * nbits)
+        m = bits.reshape(n, nbits).astype(np.uint64)
+        return (m << np.arange(nbits, dtype=np.uint64)).sum(axis=1)
     return varint_decode(memoryview(buf)[1:])
+
+
+def encode_positions(pos: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Position stream of one block: the concatenation, posting by posting,
+    of each posting's ascending in-doc term positions (len == Σtf). Deltas
+    reset per posting (first value absolute), FOR-packed under tag 2
+    (4-byte count). Positions are doc-relative, so they survive doc-id
+    rebasing (tree merge, merge-indexes) untouched."""
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if len(pos) == 0:
+        return b"\x02\x01\x00\x00\x00\x00"
+    d = np.diff(pos, prepend=np.int64(0))
+    starts = np.cumsum(tfs) - tfs
+    d[starts] = pos[starts]
+    v = d.astype(np.uint64)
+    nbits = max(int(v.max()).bit_length(), 1)
+    bits = ((v[:, None] >> np.arange(nbits, dtype=np.uint64))
+            & np.uint64(1)).astype(np.uint8)
+    return (bytes([_TAG_FOR32, nbits]) + len(v).to_bytes(4, "little")
+            + np.packbits(bits.ravel()).tobytes())
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_positions → (flat positions, per-posting start
+    offsets). Posting i's positions are flat[offs[i]:offs[i]+tfs[i]]."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tfs) - tfs
+    d = decode_values(buf).astype(np.int64)
+    if len(d) == 0:
+        return d, starts
+    # per-posting cumulative sums: global cumsum minus the running base
+    # carried across posting boundaries
+    cs = np.cumsum(d)
+    base = np.zeros(len(d), dtype=np.int64)
+    base[starts[1:]] = cs[starts[1:] - 1]
+    np.maximum.accumulate(base, out=base)
+    return cs - base, starts
 
 
 def encode_doc_deltas(doc_ids: np.ndarray, codec: str = "for") -> bytes:

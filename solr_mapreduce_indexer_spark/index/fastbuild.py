@@ -116,12 +116,20 @@ def _pack_for_groups(vals: np.ndarray, starts: np.ndarray,
 def encode_blocks_bulk(doc_ids: np.ndarray, tfs: np.ndarray,
                        doc_lens: np.ndarray, term_codes: np.ndarray,
                        avgdl: float, block_size: int, k1: float,
-                       b: float) -> dict[str, np.ndarray]:
+                       b: float, pos_sorted: np.ndarray | None = None,
+                       pstarts: np.ndarray | None = None
+                       ) -> dict[str, np.ndarray]:
     """All blocks of all terms in one pass. Inputs are postings sorted by
     (term_code, doc_id). Returns columnar arrays: block_term (code),
     first_doc, last_doc, n, max_tf, sum_tf, min_dl, max_tfnorm, and the
     three payload (buffer, offsets) pairs; byte layout identical to
-    codec.encode_blocks with codec='for'."""
+    codec.encode_blocks with codec='for'.
+
+    With positions enabled, `pos_sorted` holds the in-doc position of every
+    TOKEN in the same (term, doc, appearance) order the postings were run-
+    length-derived from, and `pstarts` maps posting i → its first token —
+    the per-block position stream is then packed with the same grouped-FOR
+    machinery (tag-2 layout of codec.encode_positions)."""
     n = len(doc_ids)
     if n == 0:
         return {"n_blocks": 0}
@@ -148,6 +156,15 @@ def encode_blocks_bulk(doc_ids: np.ndarray, tfs: np.ndarray,
     d_pay, d_off, d_nb = _pack_for_groups(deltas, starts, lens)
     t_pay, t_off, t_nb = _pack_for_groups(tfs, starts, lens)
     l_pay, l_off, l_nb = _pack_for_groups(doc_lens, starts, lens)
+    pos_payload = None
+    if pos_sorted is not None:
+        pstarts_ext = np.append(pstarts, len(pos_sorted))
+        tok_starts = pstarts_ext[starts]
+        tok_lens = pstarts_ext[ends] - tok_starts
+        pdeltas = np.diff(pos_sorted, prepend=np.int64(0))
+        pdeltas[pstarts] = pos_sorted[pstarts]  # absolute at posting starts
+        pos_payload = _pack_for_groups(pdeltas, tok_starts, tok_lens) \
+            + (tok_lens,)
     return {
         "n_blocks": len(starts),
         "term_code": term_codes[starts],
@@ -160,6 +177,7 @@ def encode_blocks_bulk(doc_ids: np.ndarray, tfs: np.ndarray,
         "max_tfnorm": np.maximum.reduceat(tfnorm, starts),
         "payloads": [(d_pay, d_off, d_nb), (t_pay, t_off, t_nb),
                      (l_pay, l_off, l_nb)],
+        "pos_payload": pos_payload,
         "block_lens": lens,
     }
 
@@ -171,6 +189,17 @@ def _assemble_payload_bytes(pay: np.ndarray, off: np.ndarray,
     buf = pay.tobytes()
     return [b"\x01" + bytes([int(nbits[i])])
             + int(lens[i]).to_bytes(2, "little")
+            + buf[off[i]:off[i + 1]]
+            for i in range(len(nbits))]
+
+
+def _assemble_pos_bytes(pay: np.ndarray, off: np.ndarray, nbits: np.ndarray,
+                        tok_lens: np.ndarray) -> list[bytes]:
+    """Tag-2 (FOR32) per-block position payloads — identical layout to
+    codec.encode_positions (4-byte count: Σtf can exceed 65535)."""
+    buf = pay.tobytes()
+    return [b"\x02" + bytes([int(nbits[i])])
+            + int(tok_lens[i]).to_bytes(4, "little")
             + buf[off[i]:off[i + 1]]
             for i in range(len(nbits))]
 
@@ -288,7 +317,7 @@ def build_shard_fast(shard: int, doc_ids: np.ndarray, texts,
     tok_doc, codes, counts, terms = tokenize_shard_bytes(texts, cfg)
     if not len(codes):
         return pd.DataFrame(columns=columns)
-    order = np.lexsort((tok_doc, codes))
+    order = np.lexsort((tok_doc, codes))  # stable: in-doc order preserved
     c, dord = codes[order], tok_doc[order]
     new = np.empty(len(c), dtype=bool)
     new[0] = True
@@ -299,14 +328,27 @@ def build_shard_fast(shard: int, doc_ids: np.ndarray, texts,
     du = doc_ids[du_ord]
     dlu = counts[du_ord]
 
+    pos_sorted = None
+    if cfg.positions:
+        # in-doc position of every kept token (tokens are doc-major ordered
+        # after filtering, so position = index − first index of its doc);
+        # the stable lexsort keeps them ascending within each posting
+        firsts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        pos = np.arange(len(tok_doc), dtype=np.int64) - firsts[tok_doc]
+        pos_sorted = pos[order]
+
     blk = encode_blocks_bulk(du, tf, dlu, cu, avgdl, cfg.block_size,
-                             cfg.k1, cfg.b)
+                             cfg.k1, cfg.b, pos_sorted=pos_sorted,
+                             pstarts=pstarts if cfg.positions else None)
     if blk["n_blocks"] == 0:
         return pd.DataFrame(columns=columns)
     term_arr = np.asarray(terms, dtype=object)[blk["term_code"]]
     d_bytes = _assemble_payload_bytes(*blk["payloads"][0], blk["block_lens"])
     t_bytes = _assemble_payload_bytes(*blk["payloads"][1], blk["block_lens"])
     l_bytes = _assemble_payload_bytes(*blk["payloads"][2], blk["block_lens"])
+    p_bytes = (_assemble_pos_bytes(*blk["pos_payload"])
+               if blk["pos_payload"] is not None
+               else [b""] * blk["n_blocks"])
     return pd.DataFrame({
         "shard_id": np.full(blk["n_blocks"], shard, dtype=np.int32),
         "term": term_arr,
@@ -320,4 +362,5 @@ def build_shard_fast(shard: int, doc_ids: np.ndarray, texts,
         "doc_bytes": d_bytes,
         "tf_bytes": t_bytes,
         "len_bytes": l_bytes,
+        "pos_bytes": p_bytes,
     }, columns=columns)

@@ -62,31 +62,45 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float, tomb_bc=None):
     merge-applies-deletes lifecycle."""
     def compact(pdf: pd.DataFrame) -> pd.DataFrame:
         from .build import POSTINGS_COLS as _COLS
+        from .codec import decode_positions, encode_positions
         tombstones = tomb_bc.value if tomb_bc is not None else None
         pdf = pdf.sort_values("first_doc")
-        docs, tfs, lens = [], [], []
+        has_pos = "pos_bytes" in pdf.columns and any(
+            p is not None and len(p) for p in pdf["pos_bytes"])
+        docs, tfs, lens, pflat = [], [], [], []
         for r in pdf.itertuples(index=False):
             d, t, ln = decode_block(r.doc_bytes, r.tf_bytes, r.len_bytes,
                                     r.first_doc)
+            if has_pos:
+                pflat.append(decode_positions(r.pos_bytes, t)[0])
             docs.append(d); tfs.append(t); lens.append(ln)
         d = np.concatenate(docs); t = np.concatenate(tfs); ln = np.concatenate(lens)
+        pp = np.concatenate(pflat) if has_pos else None
         if tombstones is not None and len(tombstones):
             pos = np.searchsorted(tombstones, d)
             pos = np.clip(pos, 0, len(tombstones) - 1)
             keep = tombstones[pos] != d
+            if has_pos:  # drop the purged postings' position runs too
+                pp = pp[np.repeat(keep, t)]
             d, t, ln = d[keep], t[keep], ln[keep]
             if not len(d):
                 return pd.DataFrame(columns=_COLS)
         shard = int(pdf["shard_id"].iloc[0]); term = pdf["term"].iloc[0]
+        ct = np.concatenate(([0], np.cumsum(t)))  # token offset per posting
         # explicit column order — a partitioned-parquet read reorders input
         # columns (partition col last), so pdf.columns must not be reused
-        from .build import POSTINGS_COLS
-        rows = [(shard, term, b["first_doc"], b["last_doc"], b["n"],
-                 b["max_tf"], b["sum_tf"], b["min_dl"], b["max_tfnorm"],
-                 b["doc_bytes"], b["tf_bytes"], b["len_bytes"])
-                for b in encode_blocks(d, t, ln, avgdl, cfg.block_size,
-                                       cfg.k1, cfg.b, cfg.posting_codec)]
-        return pd.DataFrame(rows, columns=POSTINGS_COLS)
+        rows = []
+        for bi, b in enumerate(encode_blocks(d, t, ln, avgdl, cfg.block_size,
+                                             cfg.k1, cfg.b,
+                                             cfg.posting_codec)):
+            s, e = bi * cfg.block_size, bi * cfg.block_size + b["n"]
+            pb = (encode_positions(pp[ct[s]:ct[e]], t[s:e])
+                  if has_pos else b"")
+            rows.append((shard, term, b["first_doc"], b["last_doc"], b["n"],
+                         b["max_tf"], b["sum_tf"], b["min_dl"],
+                         b["max_tfnorm"], b["doc_bytes"], b["tf_bytes"],
+                         b["len_bytes"], pb))
+        return pd.DataFrame(rows, columns=_COLS)
 
     return compact
 

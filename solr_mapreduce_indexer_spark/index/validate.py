@@ -69,6 +69,24 @@ def _check_kernel(avgdl: float, k1: float, b: float):
                 true_max = float(bm25_tfnorm(tf, dl, avgdl, k1, b).max())
                 if r.max_tfnorm < true_max - 1e-12:
                     errors.append("max_tfnorm not an upper bound")
+            pos_b = getattr(r, "pos_bytes", None)
+            if pos_b:  # positional index: Σtf positions, ascending per
+                from .codec import decode_positions  # posting, within doc_len
+                try:
+                    p, offs = decode_positions(pos_b, tf)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"pos decode failed: {type(e).__name__}")
+                    p = None
+                if p is not None:
+                    if len(p) != int(tf.sum()):
+                        errors.append("position count != sum_tf")
+                    elif len(p) > 1:
+                        is_start = np.zeros(len(p), dtype=bool)
+                        is_start[offs] = True
+                        if np.any((np.diff(p) <= 0) & ~is_start[1:]):
+                            errors.append("positions not ascending in posting")
+                    if len(p) and (p < 0).any():
+                        errors.append("negative position")
         return pd.DataFrame({"shard_id": [shard], "term": [term],
                              "n_postings": [n_postings], "sum_tf": [sum_tf],
                              "errors": ["; ".join(errors[:5])]})

@@ -174,6 +174,42 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
             hi = np.searchsorted(cand, lasts, side="right")
             return np.flatnonzero(hi > lo)
 
+        pos_cache: dict[str, tuple] = {}
+
+        def term_postings_with_pos(t: str):
+            """Full decode of one term INCLUDING positions (phrase path):
+            (docs, tfs, dls, pos_flat, per-posting offsets), tombstones
+            applied. Cached per term for the batch."""
+            got = pos_cache.get(t)
+            if got is not None:
+                return got
+            from ..index.codec import decode_positions
+            g = by_term[t]
+            if "pos_bytes" not in g.columns or any(
+                    p is None or len(p) == 0 for p in g["pos_bytes"]):
+                raise ValueError(
+                    "PHRASE queries require an index built with "
+                    "positions=True (IndexConfig.positions)")
+            docs, tfs_l, dls, pos_l = [], [], [], []
+            for r in g.itertuples(index=False):
+                d, tf, dl = decode_block(r.doc_bytes, r.tf_bytes,
+                                         r.len_bytes, int(r.first_doc))
+                p, _ = decode_positions(r.pos_bytes, tf)
+                if tombstones is not None and len(tombstones) and len(d):
+                    ix = np.clip(np.searchsorted(tombstones, d), 0,
+                                 len(tombstones) - 1)
+                    keep = tombstones[ix] != d
+                    p = p[np.repeat(keep, tf)]
+                    d, tf, dl = d[keep], tf[keep], dl[keep]
+                docs.append(d); tfs_l.append(tf); dls.append(dl)
+                pos_l.append(p)
+            d = np.concatenate(docs); tf = np.concatenate(tfs_l)
+            dl = np.concatenate(dls); p = np.concatenate(pos_l)
+            offs = np.cumsum(tf) - tf
+            got = (d, tf, dl, p, offs)
+            pos_cache[t] = got
+            return got
+
         def intersect_update(cand_docs, cand_scores, d, c):
             """AND-step: keep candidates present in (d, c), add contribution."""
             pos = np.searchsorted(cand_docs, d)
@@ -230,6 +266,55 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                 docs = np.concatenate(acc_d) if acc_d else np.empty(0, np.int64)
                 scores = (np.concatenate(acc_s) if acc_s
                           else np.empty(0, np.float64))
+            elif q["mode"] == "PHRASE":
+                # Exact-phrase BM25 (Lucene PhraseQuery semantics): docs
+                # containing the terms at CONSECUTIVE positions; tf = number
+                # of phrase occurrences; weight = Σ idf(tᵢ) over the phrase
+                # slots. Evaluation: AND-intersect the unique terms' doc
+                # sets, then intersect per-slot (doc, pos − slot) key sets —
+                # all vectorized; survivors' counts are the phrase freqs.
+                terms = q["terms"]  # ordered, duplicates meaningful
+                uniqs = sorted(set(terms))
+                if not terms or any(t not in by_term for t in uniqs):
+                    continue
+                data = {t: term_postings_with_pos(t) for t in uniqs}
+                cand = data[uniqs[0]][0]
+                for t in uniqs[1:]:
+                    cand = cand[np.isin(cand, data[t][0],
+                                        assume_unique=True)]
+                if not len(cand):
+                    continue
+                PAD = 64  # ≥ max phrase length; doc positions < 2^21 − PAD
+                keys = None
+                for i, t in enumerate(terms):
+                    docs_t, tfs_t, _dls, pflat, offs = data[t]
+                    ix = np.searchsorted(docs_t, cand)
+                    ls, st = tfs_t[ix], offs[ix]
+                    total = int(ls.sum())
+                    gi = (np.arange(total, dtype=np.int64)
+                          - np.repeat(np.cumsum(ls) - ls, ls)
+                          + np.repeat(st, ls))
+                    p = pflat[gi]
+                    dord = np.repeat(np.arange(len(cand), dtype=np.int64),
+                                     ls)
+                    shifted = p - i + PAD
+                    valid = (shifted >= 0) & (shifted < (1 << 21))
+                    k_i = (dord[valid] << np.int64(21)) | shifted[valid]
+                    keys = k_i if keys is None else \
+                        keys[np.isin(keys, k_i, assume_unique=True)]
+                    if not len(keys):
+                        break
+                if keys is None or not len(keys):
+                    continue
+                ords = (keys >> np.int64(21))
+                pf = np.bincount(ords, minlength=len(cand))
+                hit = pf > 0
+                t0 = uniqs[0]
+                dls_cand = data[t0][2][np.searchsorted(data[t0][0], cand)]
+                idf_sum = float(sum(idfs[t] for t in terms))
+                docs = cand[hit]
+                scores = idf_sum * bm25_tfnorm(pf[hit], dls_cand[hit],
+                                               avgdl, k1, b)
             else:  # OR — vectorized MaxScore (Turtle & Flood '95) with
                    # block-max skipping in both phases (Q5).
                 terms = [t for t in q["terms"] if t in by_term]
@@ -330,7 +415,11 @@ def run_queries(spark: SparkSession, h: IndexHandle,
                  .select("doc_id").toPandas()["doc_id"].to_numpy(np.int64))
 
     norm_queries = [{"query_id": int(q["query_id"]),
-                     "terms": sorted({t.lower() for t in q["terms"]}),
+                     # PHRASE keeps the given order (and duplicate slots);
+                     # AND/OR sort+dedup for reproducible float sums
+                     "terms": ([t.lower() for t in q["terms"]]
+                               if q.get("mode") == "PHRASE"
+                               else sorted({t.lower() for t in q["terms"]})),
                      "mode": q.get("mode", "AND"),
                      "k": int(q.get("k", 10))} for q in queries]
     present = [t for t in all_terms if t in dfs]

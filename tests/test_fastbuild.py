@@ -18,7 +18,8 @@ import pytest
 
 from solr_mapreduce_indexer_spark.config import IndexConfig
 from solr_mapreduce_indexer_spark.index.build import POSTINGS_COLS
-from solr_mapreduce_indexer_spark.index.codec import decode_block, encode_blocks
+from solr_mapreduce_indexer_spark.index.codec import (
+    decode_block, encode_blocks, encode_positions)
 from solr_mapreduce_indexer_spark.index.fastbuild import (
     build_shard_fast, supports_fast_path, tokenize_shard_bytes)
 
@@ -39,18 +40,35 @@ def oracle_rows(shard, doc_ids, texts, cfg, avgdl):
     for did, toks in zip(doc_ids, per_doc):
         for term, tf in sorted(Counter(toks).items()):
             postings.setdefault(term, []).append((did, tf, len(toks)))
+    _doc_ord = {did: i for i, did in enumerate(doc_ids)}
     rows = []
     for term in sorted(postings):
         pl = sorted(postings[term])
         d = np.array([p[0] for p in pl], np.int64)
         t = np.array([p[1] for p in pl], np.int64)
         dl = np.array([p[2] for p in pl], np.int64)
-        for blk in encode_blocks(d, t, dl, avgdl, cfg.block_size, cfg.k1,
-                                 cfg.b, codec="for"):
+        pl_sorted = pl
+        pos_by_posting = None
+        if cfg.positions:
+            # oracle positions: indices of the term within the doc's tokens
+            pos_by_posting = [
+                np.flatnonzero(np.asarray(per_doc[_doc_ord[p[0]]], object)
+                               == term).astype(np.int64)
+                for p in pl_sorted]
+        for bi, blk in enumerate(encode_blocks(d, t, dl, avgdl,
+                                               cfg.block_size, cfg.k1,
+                                               cfg.b, codec="for")):
+            if cfg.positions:
+                s = bi * cfg.block_size
+                e = s + blk["n"]
+                flat = np.concatenate(pos_by_posting[s:e])
+                pb = encode_positions(flat, t[s:e])
+            else:
+                pb = b""
             rows.append((shard, term, blk["first_doc"], blk["last_doc"],
                          blk["n"], blk["max_tf"], blk["sum_tf"],
                          blk["min_dl"], blk["max_tfnorm"], blk["doc_bytes"],
-                         blk["tf_bytes"], blk["len_bytes"]))
+                         blk["tf_bytes"], blk["len_bytes"], pb))
     return pd.DataFrame(rows, columns=POSTINGS_COLS)
 
 
@@ -119,6 +137,17 @@ def test_min_token_len_and_stopwords():
     compare(texts, IndexConfig(min_token_len=2))
     compare(texts, IndexConfig(stopwords=("the", "a")))
     compare(texts, IndexConfig(min_token_len=3, stopwords=("the",)))
+
+
+def test_positions_payload_matches_oracle():
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(400)]
+    compare(texts, IndexConfig(positions=True))
+    # stopword filtering renumbers positions over the KEPT token sequence
+    compare(["w1 the w2 the w1 w2", "the w2 w1"],
+            IndexConfig(positions=True, stopwords=("the",)))
 
 
 def test_unicode_byte_tokenization_matches_regex():
