@@ -214,3 +214,27 @@ def test_read_formats_and_overrides(spark, tmp_path):
     rows = forced.select("role", "pipeline").distinct().collect()
     assert rows == [("assistant", "v2")] or \
         [tuple(r) for r in rows] == [("assistant", "v2")]
+
+
+def test_avro_round_trip_if_available(spark, tmp_path):
+    """Avro input parity — gated: the sandbox image ships no spark-avro jar
+    (it is a cluster-side package), so this runs wherever the package
+    exists and skips cleanly here."""
+    from py4j.protocol import Py4JJavaError
+
+    from solr_mapreduce_indexer_spark.sources.transcripts import (
+        read_transcripts, synth_transcripts)
+
+    tr = synth_transcripts(spark, n_convs=5, turns_per_conv=2)
+    avro_dir = str(tmp_path / "avro")
+    try:
+        tr.write.format("avro").save(avro_dir)
+    except (Py4JJavaError, Exception) as e:  # noqa: BLE001
+        if "avro" in str(e).lower() or "Failed to find" in str(e):
+            pytest.skip("spark-avro package not available in this image")
+        raise
+    back = read_transcripts(spark, f"avro:{avro_dir}")
+    assert back.count() == 10
+    orig = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tr.collect()}
+    for r in back.collect():
+        assert orig[(r["conv_id"], r["turn_idx"])] == r["text"]

@@ -63,7 +63,7 @@ run_queries(spark, load_index(idx + "_warm"), qs).count()
 # sandbox's ~1.6x run-to-run noise ----------------------------------------
 import shutil
 build_s = None
-for rep in range(2):
+for rep in range({reps}):
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
     build_index(spark, tr, cfg, idx, input_path={src!r}, resume=False)
@@ -127,17 +127,21 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2) -> dict:
 
 def run_level(cpus: int, src: str, work: str, shards: int = 8,
               reducers: int = 64, fanout: int = 8,
-              master: str | None = None) -> dict:
+              master: str | None = None, reps: int = 2) -> dict:
     idx = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
     code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx,
                          shards=shards, reducers=reducers, fanout=fanout,
-                         master=master or f"local[{cpus}]")
+                         master=master or f"local[{cpus}]", reps=reps)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            got = json.loads(line[len("RESULT "):])
+            # surface each finished level immediately: a killed parent must
+            # not lose completed-level evidence (learned the hard way)
+            print("LEVEL " + json.dumps(got), flush=True)
+            return got
     raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
@@ -159,10 +163,19 @@ def main() -> None:
                          "executor PROCESSES, the north rule's unit; levels "
                          "are then executor counts, not core counts")
     ap.add_argument("--exec-cores", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="measured build repetitions per level (min taken)")
     ap.add_argument("--src", default=None,
                     help="reuse an existing synthesized corpus dir "
                          "(skips synthesis; --turns is ignored for sizing)")
     args = ap.parse_args()
+
+    # Orphan guard: a previous run killed by timeout leaves its level child
+    # (JVM + executors + python workers) running — which then CONTENDS with
+    # this run's measured levels and silently poisons the numbers (observed:
+    # a 7x-slower level-0 phase). Kill strays before measuring.
+    for pat in ("CoarseGrainedExecutorBackend", "pyspark.daemon"):
+        subprocess.run(["pkill", "-f", pat], check=False)
 
     work = tempfile.mkdtemp(prefix="smis_scaling_")
     src = args.src or os.path.join(work, "transcripts")
@@ -192,14 +205,20 @@ def main() -> None:
     if args.mode == "executors":
         c = args.exec_cores
         ceiling = cpu_ceiling(lo * c, hi * c)
+        print("CEILING " + json.dumps(ceiling), flush=True)
         r_lo = run_level(lo * c, src, work, args.shards, args.reducers,
-                         args.fanout, master=f"local-cluster[{lo},{c},8192]")
+                         args.fanout, master=f"local-cluster[{lo},{c},8192]",
+                         reps=args.reps)
         r_hi = run_level(hi * c, src, work, args.shards, args.reducers,
-                         args.fanout, master=f"local-cluster[{hi},{c},8192]")
+                         args.fanout, master=f"local-cluster[{hi},{c},8192]",
+                         reps=args.reps)
     else:
         ceiling = cpu_ceiling(lo, hi)
-        r_lo = run_level(lo, src, work, args.shards, args.reducers, args.fanout)
-        r_hi = run_level(hi, src, work, args.shards, args.reducers, args.fanout)
+        print("CEILING " + json.dumps(ceiling), flush=True)
+        r_lo = run_level(lo, src, work, args.shards, args.reducers,
+                         args.fanout, reps=args.reps)
+        r_hi = run_level(hi, src, work, args.shards, args.reducers,
+                         args.fanout, reps=args.reps)
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
     eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
