@@ -360,8 +360,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_and(spark, "/root/testdata/sf0.001")
 
 
+def _shipped(fn: Callable) -> Callable:
+    """Ship the package zip to executors before the query runs: several
+    queries pickle package functions into python workers (pandas UDFs /
+    applyInPandas kernels), which unpickle only if the package is importable
+    worker-side. Harmless no-op when already shipped; without it, any
+    invocation from a cwd other than the repo root fails with
+    ModuleNotFoundError in the worker."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from solr_mapreduce_indexer_spark.session import ensure_shipped
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _shipped(fn) for k, fn in {
         "transcripts_derive": q_transcripts_derive,
         "tf_table": q_tf_table,
         "term_stats": q_term_stats,
@@ -386,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": q_embedding_pairs,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -63,20 +63,21 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     SQL-expressible so DuckDB can replay it exactly."""
     cfg = cfg or IndexConfig()
     toks = F.array_distinct(tokenize_col(text_col, cfg))
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        scores.append(F.struct(
-            F.size(F.array_intersect(toks, markers)).alias("hits"),
-            F.lit(lang).alias("lang")))
-    # argmax by (hits, lang desc) then alphabetical tie-break == take max of
-    # struct(hits, reverse-lang)… simpler: greatest over structs ordered by
-    # (hits asc, lang desc) picks highest hits, alphabetically-first lang.
-    best = F.greatest(*[F.struct(s["hits"].alias("hits"),
-                                 # invert lang ordering for alphabetical ties
-                                 F.lit(-i).alias("ord"),
-                                 s["lang"].alias("lang"))
-                        for i, s in enumerate(scores)])
+    # argmax by (hits desc, lang asc): greatest() over structs compares
+    # field-by-field, so each struct carries (hits, rank) where rank is the
+    # language's NEGATED position in the explicitly-sorted language list —
+    # the tie-break is pinned to alphabetical order by construction and
+    # cannot silently flip if LANG_MARKERS gains a language or is reordered.
+    langs = sorted(LANG_MARKERS)
+    rank = {lang: -i for i, lang in enumerate(langs)}  # a < b ⇒ rank[a] > rank[b]
+    best = F.greatest(*[
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])))
+             .alias("hits"),
+            F.lit(rank[lang]).alias("ord"),
+            F.lit(lang).alias("lang"))
+        for lang in langs])
     return df.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),

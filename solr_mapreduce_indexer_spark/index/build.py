@@ -181,6 +181,8 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
         return build_shard(shard, list(doc_ids), list(toks))
 
     def index_partition(batches):
+        from .codec import tune_allocator
+        tune_allocator()  # worker-side: heap reuse for the kernel's buffers
         # Tokenize HERE (python) rather than JVM-side: shipping raw text
         # over Arrow is ~2.5x fewer bytes than shipping token arrays, and
         # the virtualized socket path is the bottleneck. Rows arrive sorted
@@ -269,6 +271,29 @@ def segment_metrics(spark: SparkSession, segments_path: str) -> list[dict]:
             for r in rows]
 
 
+def write_term_stats(spark: SparkSession, blocks_path: str,
+                     out_path: str) -> int:
+    """Global df/cf for BM25 idf, derived from posting-block METADATA
+    (term, n, sum_tf — parquet column pruning never touches payload bytes),
+    written range-partitioned + sorted by term; returns n_terms.
+
+    The count rides the write job as an Observation metric (observe sits
+    ABOVE repartitionByRange so the range-sampling job never passes through
+    the metrics node) — no read-back count job."""
+    from pyspark.sql import Observation
+    ts = (spark.read.parquet(blocks_path)
+          .groupBy("term")
+          .agg(F.sum("n").cast("long").alias("df"),
+               F.sum("sum_tf").cast("long").alias("cf")))
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    obs = Observation()
+    (ts.repartitionByRange(n_part, "term")
+       .observe(obs, F.count(F.lit(1)).alias("n_terms"))
+       .sortWithinPartitions("term")
+       .write.mode("overwrite").parquet(out_path))
+    return int(obs.get["n_terms"])
+
+
 def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
                 index_dir: str, input_path: str = "<dataframe>",
                 resume: bool = True) -> dict:
@@ -299,19 +324,24 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     import time
     ck = mf.read_checkpoint(index_dir, "docmap") if resume else None
     if ck is None:
+        from pyspark.sql import Observation
         t0 = time.time()
+        # corpus stats ride the write job as Observation metrics (exact —
+        # accumulator updates inside actions apply once per task) instead of
+        # a second full docmap scan: one fewer Spark job of
+        # corpus-size-independent scheduling latency per build
+        obs = Observation()
         (docmap_cols(get_docs(), cfg)
+          .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("doc_len").alias("avgdl"),
+                   F.sum("doc_len").alias("total_tokens"))
           .repartition(partitions, "shard_id")
           .write.mode("overwrite").option("compression", cfg.compression)
           .partitionBy("shard_id").parquet(docmap_path))
-        # stats from the written docmap: a column-pruned doc_len scan
-        agg = (spark.read.parquet(docmap_path)
-               .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("doc_len").alias("avgdl"),
-                    F.sum("doc_len").alias("total_tokens")).collect()[0])
+        agg = obs.get
         stats = {"n_docs": int(agg["n_docs"]),
-                 "avgdl": float(agg["avgdl"]),
-                 "total_tokens": int(agg["total_tokens"])}
+                 "avgdl": float(agg["avgdl"] or 0.0),
+                 "total_tokens": int(agg["total_tokens"] or 0)}
         mf.write_checkpoint(index_dir, "docmap",
                             {"path": docmap_path, "stats": stats,
                              "partitions": partitions,
@@ -347,14 +377,7 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     # than re-exploding tokens for a second full shuffle.
     if not (resume and mf.read_checkpoint(index_dir, "term_stats")):
         t0 = time.time()
-        ts = (spark.read.parquet(level0_path)
-              .groupBy("term")
-              .agg(F.sum("n").cast("long").alias("df"),
-                   F.sum("sum_tf").cast("long").alias("cf")))
-        n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-        (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
-           .write.mode("overwrite").parquet(term_stats_path))
-        n_terms = spark.read.parquet(term_stats_path).count()
+        n_terms = write_term_stats(spark, level0_path, term_stats_path)
         mf.write_checkpoint(index_dir, "term_stats",
                             {"path": term_stats_path, "n_terms": n_terms,
                              "wall_s": round(time.time() - t0, 2)})

@@ -25,14 +25,27 @@ from __future__ import annotations
 import numpy as np
 
 
-def _tune_allocator() -> None:
+_ALLOCATOR_TUNED = False
+
+
+def tune_allocator() -> None:
     """Keep large numpy buffers on the main heap instead of per-allocation
     mmap/munmap. Under a user-space-kernel sandbox (gVisor-style), first
     touching a freshly mmapped page costs ~100x a normal fault, and glibc's
     default behavior (mmap big blocks, return them to the OS on free) makes
     every kernel task re-fault its working set: measured 2.5x on the build
     kernel's allocation pattern. Raising M_MMAP_THRESHOLD / M_TRIM_THRESHOLD
-    trades bounded worker RSS for warm pages. No-op where libc is absent."""
+    trades bounded worker RSS for warm pages. No-op where libc is absent.
+
+    Called from the WORKER-SIDE kernels (build / score / compact / validate)
+    only — never at import time, so a driver that merely loads this module
+    (load_index, run_queries planning) keeps glibc defaults and its
+    documented 1g default heap stays lean. Idempotent: one mallopt per
+    process."""
+    global _ALLOCATOR_TUNED
+    if _ALLOCATOR_TUNED:
+        return
+    _ALLOCATOR_TUNED = True
     try:
         import ctypes
         libc = ctypes.CDLL("libc.so.6")
@@ -40,10 +53,6 @@ def _tune_allocator() -> None:
         libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
     except Exception:  # noqa: BLE001 — allocator tuning is best-effort
         pass
-
-
-_tune_allocator()  # import-time: this module is imported by every worker
-                   # that runs a build/query/compact kernel
 
 _U64 = np.uint64
 _SEVEN = _U64(7)

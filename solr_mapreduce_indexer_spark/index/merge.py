@@ -54,16 +54,25 @@ def merge_level(spark: SparkSession, index_dir: str, level: int,
     return dst_path, n_out
 
 
-def _compact_mapper(cfg: IndexConfig, avgdl: float, tomb_bc=None):
+def _compact_mapper(cfg: IndexConfig, avgdl: float,
+                    tombstones_path: str | None = None):
     """applyInPandas kernel: all blocks of one (shard, term) → re-encoded
     full-size blocks (decode + concat + encode). Exactness: tf/doc/len values
     round-trip the codec; max_tfnorm recomputed from the same avgdl.
-    `tomb_bc` (broadcast of sorted doc ids) are PURGED — the Lucene
-    merge-applies-deletes lifecycle."""
+    Tombstoned docs are PURGED — the Lucene merge-applies-deletes lifecycle.
+    Each kernel reads only ITS OWN doc-id slice of the tombstone parquet
+    (row-group-pruned, cached per worker process per shard) — the tombstone
+    set never lands on the driver or in a broadcast."""
     def compact(pdf: pd.DataFrame) -> pd.DataFrame:
         from .build import POSTINGS_COLS as _COLS
-        from .codec import decode_positions, encode_positions
-        tombstones = tomb_bc.value if tomb_bc is not None else None
+        from .codec import decode_positions, encode_positions, tune_allocator
+        from .tombstones import load_tombstones_range
+        tune_allocator()
+        tombstones = None
+        if tombstones_path is not None and len(pdf):
+            tombstones = load_tombstones_range(
+                tombstones_path, int(pdf["first_doc"].min()),
+                int(pdf["last_doc"].max()), cfg.doc_bits)
         pdf = pdf.sort_values("first_doc")
         has_pos = "pos_bytes" in pdf.columns and any(
             p is not None and len(p) for p in pdf["pos_bytes"])
@@ -107,7 +116,7 @@ def _compact_mapper(cfg: IndexConfig, avgdl: float, tomb_bc=None):
 
 def compact_level(spark: SparkSession, src_path: str,
                   cfg: IndexConfig, avgdl: float, n_shards: int,
-                  tombstones: np.ndarray | None = None) -> str:
+                  tombstones_path: str | None = None) -> str:
     """forceMerge(maxSegments) analog: rewrite a level so every (shard, term)
     posting list uses full blocks (fragmentation from chunked encoding / tree
     merge gone), leaving at most cfg.max_segments files per shard directory
@@ -126,10 +135,8 @@ def compact_level(spark: SparkSession, src_path: str,
     src = spark.read.parquet(src_path)
     dst = src_path.rstrip("/") + "_compact"
     m = max(1, int(cfg.max_segments))
-    tomb_bc = (spark.sparkContext.broadcast(tombstones)
-               if tombstones is not None and len(tombstones) else None)
     out = (src.groupBy("shard_id", "term")
-           .applyInPandas(_compact_mapper(cfg, avgdl, tomb_bc),
+           .applyInPandas(_compact_mapper(cfg, avgdl, tombstones_path),
                           schema=POSTINGS_SCHEMA))
     if m == 1:
         out = out.repartition(n_shards, "shard_id")
@@ -235,8 +242,8 @@ def resolve_duplicate_keys(spark: SparkSession, docmap_path: str,
             f"'{cfg.conflict_resolver}' — rejecting (reference "
             "RejectingUpdateConflictResolver semantics)")
     path = os.path.join(out_dir, "tombstones")
-    (losers.repartition(max(1, n // 5_000_000 + 1))
-           .write.mode("overwrite").parquet(path))
+    from .tombstones import write_tombstones
+    write_tombstones(losers, path, n, compression=cfg.compression)
     return {"path": path, "n": n}, n
 
 
@@ -278,6 +285,14 @@ def merge_indexes(spark: SparkSession, input_dirs: list[str],
                                  base.stopwords):
             raise ValueError("indexes built with different analysis/scoring "
                              "config cannot be merged")
+        if c.positions != base.positions:
+            # merging positional with non-positional would leave a config
+            # that PROMISES phrase support while some shards lack position
+            # streams — PHRASE queries would fail shard-side at runtime
+            raise ValueError(
+                "indexes with mixed positions settings cannot be merged: "
+                f"positions={base.positions} vs {c.positions} — rebuild the "
+                "non-positional input with positions=True (or both without)")
 
     os.makedirs(out_dir, exist_ok=True)
     n_docs = sum(int(m["stats"]["n_docs"]) for m in manifests)
@@ -343,15 +358,9 @@ def merge_indexes(spark: SparkSession, input_dirs: list[str],
            .partitionBy("shard_id").parquet(level_path))
 
     # --- term stats from block metadata ------------------------------------
+    from .build import write_term_stats
     term_stats_path = os.path.join(out_dir, "term_stats")
-    ts = (spark.read.parquet(level_path)
-          .groupBy("term")
-          .agg(F.sum("n").cast("long").alias("df"),
-               F.sum("sum_tf").cast("long").alias("cf")))
-    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
-       .write.mode("overwrite").parquet(term_stats_path))
-    n_terms = spark.read.parquet(term_stats_path).count()
+    n_terms = write_term_stats(spark, level_path, term_stats_path)
 
     # --- duplicate-key resolution across inputs → tombstones ---------------
     tombs, n_tombs = resolve_duplicate_keys(spark, docmap_path, base, out_dir)
@@ -406,12 +415,13 @@ def compact_final(spark: SparkSession, index_dir: str,
         return m
     stats = dict(m["stats"])
 
-    tomb_ids = None
-    if m.get("tombstones"):
-        tomb_ids = np.sort(
-            spark.read.parquet(m["tombstones"]["path"])
-                 .select("doc_id").toPandas()["doc_id"].to_numpy(np.int64))
-        # live docmap first: stats for the purged index come from it
+    tombs_path = m["tombstones"]["path"] if m.get("tombstones") else None
+    if tombs_path:
+        # live docmap first: stats for the purged index come from it.
+        # Everything here is in-plan (anti-join) or kernel-side (range-pruned
+        # parquet reads inside _compact_mapper) — the tombstone set is never
+        # materialized on the driver, so compacting two heavily-overlapping
+        # merged generations stays O(slice) per task at any collision count.
         docmap_path = os.path.join(index_dir, "docmap")
         live_path = docmap_path + "_live"
         dm = spark.read.parquet(docmap_path)
@@ -434,19 +444,13 @@ def compact_final(spark: SparkSession, index_dir: str,
 
     path = compact_level(spark, final["path"], cfg,
                          float(stats["avgdl"]), int(final["n_shards"]),
-                         tombstones=tomb_ids)
+                         tombstones_path=tombs_path)
 
-    if tomb_ids is not None:
+    if tombs_path:
         # term_stats from the purged block metadata (same recipe as build)
+        from .build import write_term_stats
         term_stats_path = os.path.join(index_dir, "term_stats")
-        ts = (spark.read.parquet(path)
-              .groupBy("term")
-              .agg(F.sum("n").cast("long").alias("df"),
-                   F.sum("sum_tf").cast("long").alias("cf")))
-        n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-        (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
-           .write.mode("overwrite").parquet(term_stats_path))
-        stats["n_terms"] = spark.read.parquet(term_stats_path).count()
+        stats["n_terms"] = write_term_stats(spark, path, term_stats_path)
         import shutil
         shutil.rmtree(m["tombstones"]["path"], ignore_errors=True)
 

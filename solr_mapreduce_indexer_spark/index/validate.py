@@ -24,12 +24,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from .codec import bm25_tfnorm, decode_block
+from .codec import bm25_tfnorm, decode_block, tune_allocator
 from .manifest import read_manifest
 
 
 def _check_kernel(avgdl: float, k1: float, b: float):
     def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        tune_allocator()
         pdf = pdf.sort_values("first_doc")
         term = pdf["term"].iloc[0]
         shard = int(pdf["shard_id"].iloc[0])
@@ -87,6 +88,9 @@ def _check_kernel(avgdl: float, k1: float, b: float):
                             errors.append("positions not ascending in posting")
                     if len(p) and (p < 0).any():
                         errors.append("negative position")
+                    if len(p) == int(tf.sum()) and len(p) and \
+                            (p >= np.repeat(dl, tf)).any():
+                        errors.append("position >= doc_len")
         return pd.DataFrame({"shard_id": [shard], "term": [term],
                              "n_postings": [n_postings], "sum_tf": [sum_tf],
                              "errors": ["; ".join(errors[:5])]})
@@ -99,6 +103,7 @@ def _doc_len_kernel():
     doc across all terms reproduces the Python-tokenizer token count, which
     must equal the JVM-tokenizer doc_len stored in the docmap."""
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        tune_allocator()
         docs, tfs = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
         for r in pdf.itertuples(index=False):
             try:

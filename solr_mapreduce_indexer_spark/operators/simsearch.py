@@ -15,6 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _nearest_centroid(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c ‖m − c‖² via the matmul identity: ‖m‖² + ‖c‖² − 2·m@cᵀ.
+    The ‖m‖² row term is constant per row, so the argmin needs only
+    ‖c‖² − 2·m@cᵀ — an O(batch×K) temp instead of the O(batch×K×dim)
+    broadcast-subtract cube, which at high dims dominated kernel memory."""
+    m = np.ascontiguousarray(m, dtype=np.float64)
+    c = np.ascontiguousarray(cents, dtype=np.float64)
+    d = (c * c).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+    return d.argmin(axis=1)
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -50,8 +61,7 @@ def kmeans_centroids(df: DataFrame, vec_col: str = "embedding",
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _nearest_centroid(m, cents)
         for c in range(len(cents)):
             sel = m[assign == c]
             if len(sel):
@@ -68,8 +78,7 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        return pd.Series(_nearest_centroid(m, cents).astype(np.int32))
 
     return df.withColumn("centroid", assign(F.col(vec_col)))
 

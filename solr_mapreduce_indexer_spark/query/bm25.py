@@ -50,8 +50,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from ..index.codec import bm25_tfnorm, decode_block
+from ..index.codec import (bm25_tfnorm, decode_block, decode_positions,
+                           tune_allocator)
 from ..index.manifest import read_manifest
+from ..index.tombstones import load_tombstones_range
 
 
 @dataclass
@@ -105,7 +107,8 @@ _EPS = 1e-9  # absolute slack on bound-vs-theta comparisons (scores are O(10))
 
 def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                         avgdl: float, k1: float, b: float,
-                        tombstones: np.ndarray | None = None):
+                        tombstones_path: str | None = None,
+                        doc_bits: int = 40):
     """applyInPandas kernel over one shard's blocks for the whole query
     batch. Input pdf: term, first_doc, last_doc, n, max_tfnorm, doc_bytes,
     tf_bytes, len_bytes. Output: query_id, doc_id, score (per-shard top-k
@@ -115,9 +118,24 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
     (term, block), so a term referenced by many queries (Zipf head) is
     decoded at most once per shard per batch regardless of which query (or
     which pruning path) touches it. One task per shard mirrors how a Solr/ES
-    query fans out — per-shard work is the unit of query parallelism."""
+    query fans out — per-shard work is the unit of query parallelism.
+
+    Tombstones (duplicate-key losers awaiting compaction) are read HERE, per
+    shard: the kernel loads only its own doc-id slice of the tombstone
+    parquet (sorted by doc_id, so the read is row-group-pruned) — the
+    tombstone set never lands on the driver, so even adversarially
+    collision-heavy merges (two overlapping 100 TB generations) stay
+    O(shard slice) per task."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        tune_allocator()
+        tombstones = None
+        if tombstones_path is not None and len(pdf):
+            tombstones = load_tombstones_range(
+                tombstones_path, int(pdf["first_doc"].min()),
+                int(pdf["last_doc"].max()), doc_bits)
+            if not len(tombstones):
+                tombstones = None
         by_term: dict[str, pd.DataFrame] = {
             t: g.sort_values("first_doc").reset_index(drop=True)
             for t, g in pdf.groupby("term")}
@@ -174,41 +192,50 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
             hi = np.searchsorted(cand, lasts, side="right")
             return np.flatnonzero(hi > lo)
 
-        pos_cache: dict[str, tuple] = {}
+        pos_cache: dict[tuple[str, int], tuple] = {}
 
-        def term_postings_with_pos(t: str):
-            """Full decode of one term INCLUDING positions (phrase path):
-            (docs, tfs, dls, pos_flat, per-posting offsets), tombstones
-            applied. Cached per term for the batch."""
-            got = pos_cache.get(t)
-            if got is not None:
-                return got
-            from ..index.codec import decode_positions
-            g = by_term[t]
-            if "pos_bytes" not in g.columns or any(
-                    p is None or len(p) == 0 for p in g["pos_bytes"]):
-                raise ValueError(
-                    "PHRASE queries require an index built with "
-                    "positions=True (IndexConfig.positions)")
-            docs, tfs_l, dls, pos_l = [], [], [], []
-            for r in g.itertuples(index=False):
-                d, tf, dl = decode_block(r.doc_bytes, r.tf_bytes,
-                                         r.len_bytes, int(r.first_doc))
-                p, _ = decode_positions(r.pos_bytes, tf)
-                if tombstones is not None and len(tombstones) and len(d):
-                    ix = np.clip(np.searchsorted(tombstones, d), 0,
-                                 len(tombstones) - 1)
-                    keep = tombstones[ix] != d
-                    p = p[np.repeat(keep, tf)]
-                    d, tf, dl = d[keep], tf[keep], dl[keep]
-                docs.append(d); tfs_l.append(tf); dls.append(dl)
-                pos_l.append(p)
-            d = np.concatenate(docs); tf = np.concatenate(tfs_l)
-            dl = np.concatenate(dls); p = np.concatenate(pos_l)
-            offs = np.cumsum(tf) - tf
-            got = (d, tf, dl, p, offs)
-            pos_cache[t] = got
-            return got
+        def decode_pos_blocks(t: str, idx: np.ndarray):
+            """Decode the given block ordinals of term t WITH positions →
+            concatenated (docs, tfs, dls, pos_flat), tombstones applied.
+            Per-block cache for the whole batch: the phrase doc-intersection
+            phase and the position-intersection phase touch each block ONCE.
+            Only the rarest term decodes all its blocks; every other term's
+            blocks reach here through blocks_hitting, so a Zipf-head phrase
+            term never decodes its full posting+position stream — Lucene
+            PhraseQuery's two-phase iteration, where positions are consulted
+            only for docs passing the conjunctive doc-level approximation."""
+            firsts, _lasts, _ubs, db, tb, lb = term_meta(t)
+            pb_col = by_term[t]["pos_bytes"].to_numpy() \
+                if "pos_bytes" in by_term[t].columns else None
+            ds_, ts_, ls_, ps_ = [], [], [], []
+            for i in np.sort(np.asarray(idx, dtype=np.int64)):
+                i = int(i)
+                got = pos_cache.get((t, i))
+                if got is None:
+                    pb = pb_col[i] if pb_col is not None else None
+                    if pb is None or len(pb) == 0:
+                        raise ValueError(
+                            "PHRASE queries require an index built with "
+                            "positions=True (IndexConfig.positions)")
+                    d, tf, dl = decode_block(db[i], tb[i], lb[i],
+                                             int(firsts[i]))
+                    p, _ = decode_positions(pb, tf)
+                    if tombstones is not None and len(tombstones) and len(d):
+                        ix = np.clip(np.searchsorted(tombstones, d), 0,
+                                     len(tombstones) - 1)
+                        keep = tombstones[ix] != d
+                        p = p[np.repeat(keep, tf)]
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+                    got = (d, tf, dl, p)
+                    pos_cache[(t, i)] = got
+                    DECODE_STATS["blocks_decoded"] += 1
+                ds_.append(got[0]); ts_.append(got[1])
+                ls_.append(got[2]); ps_.append(got[3])
+            if not ds_:
+                z = np.empty(0, np.int64)
+                return z, z, z, z
+            return (np.concatenate(ds_), np.concatenate(ts_),
+                    np.concatenate(ls_), np.concatenate(ps_))
 
         def intersect_update(cand_docs, cand_scores, d, c):
             """AND-step: keep candidates present in (d, c), add contribution."""
@@ -270,24 +297,44 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                 # Exact-phrase BM25 (Lucene PhraseQuery semantics): docs
                 # containing the terms at CONSECUTIVE positions; tf = number
                 # of phrase occurrences; weight = Σ idf(tᵢ) over the phrase
-                # slots. Evaluation: AND-intersect the unique terms' doc
-                # sets, then intersect per-slot (doc, pos − slot) key sets —
-                # all vectorized; survivors' counts are the phrase freqs.
+                # slots. CONJUNCTION-DRIVEN, two-phase like Lucene 7.7.2
+                # PhraseQuery (the reference output format's evaluator):
+                # phase 1 intersects doc sets rarest-term-outward — only the
+                # rarest term's postings decode fully; every other term
+                # decodes only blocks whose doc range intersects surviving
+                # candidates (block metadata, no payload touch otherwise).
+                # Phase 2 decodes POSITIONS only for candidate-overlapping
+                # blocks and intersects per-slot (doc, pos − slot) key sets;
+                # survivors' counts are the phrase freqs. A Zipf-head term
+                # in the phrase therefore costs O(candidate blocks), not a
+                # full posting+position decode.
                 terms = q["terms"]  # ordered, duplicates meaningful
                 uniqs = sorted(set(terms))
                 if not terms or any(t not in by_term for t in uniqs):
                     continue
-                data = {t: term_postings_with_pos(t) for t in uniqs}
-                cand = data[uniqs[0]][0]
-                for t in uniqs[1:]:
-                    cand = cand[np.isin(cand, data[t][0],
-                                        assume_unique=True)]
+                PAD = 64  # slot shift head-room; bounds phrase length
+                if len(terms) > PAD:
+                    raise ValueError(f"phrase longer than {PAD} terms "
+                                     "is unsupported")
+                by_rarity = sorted(uniqs, key=lambda t: (-idfs[t], t))
+                t0 = by_rarity[0]
+                d0, _tf0, dl0, _p0 = decode_pos_blocks(
+                    t0, np.arange(len(term_meta(t0)[0])))
+                cand = d0
+                for t in by_rarity[1:]:
+                    d, _tf, _dl, _p = decode_pos_blocks(
+                        t, blocks_hitting(t, cand))
+                    cand = cand[np.isin(cand, d, assume_unique=True)]
+                    if not len(cand):
+                        break
                 if not len(cand):
                     continue
-                PAD = 64  # ≥ max phrase length; doc positions < 2^21 − PAD
+                dls_cand = dl0[np.searchsorted(d0, cand)]
                 keys = None
                 for i, t in enumerate(terms):
-                    docs_t, tfs_t, _dls, pflat, offs = data[t]
+                    docs_t, tfs_t, _dls_t, pflat = decode_pos_blocks(
+                        t, blocks_hitting(t, cand))
+                    offs = np.cumsum(tfs_t) - tfs_t
                     ix = np.searchsorted(docs_t, cand)
                     ls, st = tfs_t[ix], offs[ix]
                     total = int(ls.sum())
@@ -297,20 +344,27 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                     p = pflat[gi]
                     dord = np.repeat(np.arange(len(cand), dtype=np.int64),
                                      ls)
+                    # pack (candidate ordinal, slot-aligned position) into
+                    # one int64 key. 32-bit position field: in-doc positions
+                    # are bounded by doc_len (< 2^31), and overflow fails
+                    # LOUDLY instead of silently dropping matches (the old
+                    # 21-bit field lost phrase hits past ~2.09M tokens).
                     shifted = p - i + PAD
-                    valid = (shifted >= 0) & (shifted < (1 << 21))
-                    k_i = (dord[valid] << np.int64(21)) | shifted[valid]
+                    if shifted.size and int(shifted.max()) >= (1 << 32):
+                        raise ValueError(
+                            "in-doc position exceeds 2^32 − 64: document "
+                            "too long for the positional key packing")
+                    valid = shifted >= 0
+                    k_i = (dord[valid] << np.int64(32)) | shifted[valid]
                     keys = k_i if keys is None else \
                         keys[np.isin(keys, k_i, assume_unique=True)]
                     if not len(keys):
                         break
                 if keys is None or not len(keys):
                     continue
-                ords = (keys >> np.int64(21))
+                ords = (keys >> np.int64(32))
                 pf = np.bincount(ords, minlength=len(cand))
                 hit = pf > 0
-                t0 = uniqs[0]
-                dls_cand = data[t0][2][np.searchsorted(data[t0][0], cand)]
                 idf_sum = float(sum(idfs[t] for t in terms))
                 docs = cand[hit]
                 scores = idf_sum * bm25_tfnorm(pf[hit], dls_cand[hit],
@@ -406,14 +460,10 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     dfs = _lookup_dfs(spark, h, all_terms)
     idfs = {t: idf(h.n_docs, dfs.get(t, 0)) for t in all_terms}
 
-    tombs = None
-    if h.tombstones_path:
-        # sorted doc ids of duplicate-key losers; bounded by collision count
-        # (compact purges them physically and clears this path)
-        tombs = np.sort(
-            spark.read.parquet(h.tombstones_path)
-                 .select("doc_id").toPandas()["doc_id"].to_numpy(np.int64))
-
+    # Tombstones (duplicate-key losers; compact purges them physically) are
+    # NOT loaded here: each shard kernel range-reads its own slice of the
+    # sorted tombstone parquet — nothing collision-count-sized ever touches
+    # the driver.
     norm_queries = [{"query_id": int(q["query_id"]),
                      # PHRASE keeps the given order (and duplicate slots);
                      # AND/OR sort+dedup for reproducible float sums
@@ -441,7 +491,9 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     cand = (blocks.groupBy("shard_id")
             .applyInPandas(
                 _score_shard_kernel(norm_queries, idfs, h.avgdl,
-                                    cfg.k1, cfg.b, tombstones=tombs),
+                                    cfg.k1, cfg.b,
+                                    tombstones_path=h.tombstones_path,
+                                    doc_bits=cfg.doc_bits),
                 schema="query_id long, doc_id long, score double"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

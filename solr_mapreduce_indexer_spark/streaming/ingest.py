@@ -234,15 +234,9 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
            .partitionBy("shard_id").parquet(level_path))
 
     # --- term stats from block metadata (column-pruned scan) ----------------
+    from ..index.build import write_term_stats
     term_stats_path = os.path.join(index_dir, "term_stats")
-    ts = (spark.read.parquet(level_path)
-          .groupBy("term")
-          .agg(F.sum("n").cast("long").alias("df"),
-               F.sum("sum_tf").cast("long").alias("cf")))
-    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
-    (ts.repartitionByRange(n_part, "term").sortWithinPartitions("term")
-       .write.mode("overwrite").parquet(term_stats_path))
-    n_terms = spark.read.parquet(term_stats_path).count()
+    n_terms = write_term_stats(spark, level_path, term_stats_path)
 
     from ..index.build import segment_metrics
     mf.write_checkpoint(index_dir, "docmap", {

@@ -151,3 +151,108 @@ def test_validate_checks_positions(pidx, spark):
     from solr_mapreduce_indexer_spark.index.validate import validate_index
     rep = validate_index(spark, pidx)
     assert rep["ok"], rep
+
+
+# ---------------------------------------------------------------------------
+# Conjunction-driven pruning (round-4): PHRASE must NOT decode every block of
+# a Zipf-head phrase term — doc-level intersection drives which blocks (and
+# which position streams) are touched, mirroring Lucene PhraseQuery's
+# two-phase iteration. These tests run the kernel in-process and count block
+# decodes via DECODE_STATS, exactly like tests/test_blockmax.py.
+# ---------------------------------------------------------------------------
+
+def _positional_table(docs_tokens, avgdl, block_size=32, k1=1.2, b=0.75):
+    """Token lists → posting-block pandas table WITH position streams."""
+    from solr_mapreduce_indexer_spark.index.codec import (
+        encode_blocks, encode_positions)
+    postings = {}  # term -> list[(doc, positions)]
+    for d, toks in enumerate(docs_tokens):
+        per = {}
+        for i, t in enumerate(toks):
+            per.setdefault(t, []).append(i)
+        for t, ps in per.items():
+            postings.setdefault(t, []).append((d, ps))
+    doc_lens = np.array([len(t) for t in docs_tokens], dtype=np.int64)
+    rows = []
+    for term, pl in postings.items():
+        pl.sort()
+        docs = np.array([p[0] for p in pl], dtype=np.int64)
+        tfs = np.array([len(p[1]) for p in pl], dtype=np.int64)
+        flat = np.concatenate([np.asarray(p[1], np.int64) for p in pl])
+        offs = np.cumsum(tfs) - tfs
+        for bi, blk in enumerate(encode_blocks(
+                docs, tfs, doc_lens[docs], avgdl, block_size=block_size,
+                k1=k1, b=b)):
+            s, e = bi * block_size, bi * block_size + blk["n"]
+            lo = offs[s]
+            hi = offs[e - 1] + tfs[e - 1]
+            blk["pos_bytes"] = encode_positions(flat[lo:hi], tfs[s:e])
+            rows.append(dict(shard_id=0, term=term, **blk))
+    n = len(docs_tokens)
+    dfs = {t: len(pl) for t, pl in postings.items()}
+    idfs = {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+            for t, d in dfs.items()}
+    return pd.DataFrame(rows), idfs, doc_lens
+
+
+@pytest.fixture(scope="module")
+def zipf_positional():
+    """4000 docs; 'hot' appears in nearly every doc (Zipf head), 'rare' in a
+    handful — and the phrase 'rare hot' occurs in exactly those docs."""
+    rng = np.random.default_rng(11)
+    fillers = [f"f{i:02d}" for i in range(30)]
+    docs = []
+    for d in range(4000):
+        toks = list(rng.choice(fillers, rng.integers(8, 30)))
+        toks.insert(int(rng.integers(0, len(toks))), "hot")
+        if d % 100 == 0:  # 40 docs contain the phrase
+            j = int(rng.integers(0, len(toks)))
+            toks[j:j] = ["rare", "hot"]
+        docs.append(toks)
+    avgdl = float(np.mean([len(t) for t in docs]))
+    pdf, idfs, doc_lens = _positional_table(docs, avgdl)
+    return docs, pdf, idfs, doc_lens, avgdl
+
+
+def test_phrase_prunes_hot_term_blocks(zipf_positional):
+    from solr_mapreduce_indexer_spark.query import bm25 as Q
+    docs, pdf, idfs, doc_lens, avgdl = zipf_positional
+    Q.DECODE_STATS["blocks_decoded"] = 0
+    kern = Q._score_shard_kernel(
+        [{"query_id": 0, "terms": ["rare", "hot"], "mode": "PHRASE",
+          "k": 100}], idfs, avgdl, 1.2, 0.75)
+    res = kern(pdf)
+    decoded = Q.DECODE_STATS["blocks_decoded"]
+    total = int(pdf.term.isin(["rare", "hot"]).sum())
+    # exhaustive (round-3 behavior) decoded every block of both terms;
+    # conjunction-driven must touch a small fraction: all of 'rare'
+    # (1-2 blocks) + only candidate-overlapping blocks of 'hot'
+    assert decoded < 0.6 * total, (decoded, total)
+    # and the results must still be exactly right
+    want = phrase_oracle([" ".join(t) for t in docs], ["rare", "hot"])
+    got = dict(zip(res.doc_id, res.score))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_phrase_position_overflow_fails_loudly():
+    """In-doc positions beyond the 32-bit key field must raise, not silently
+    drop matches (the round-3 21-bit packing lost hits past ~2.09M tokens)."""
+    from solr_mapreduce_indexer_spark.index.codec import (
+        encode_blocks, encode_positions)
+    from solr_mapreduce_indexer_spark.query import bm25 as Q
+    big = (1 << 32) + 10  # a (pathological) position past the key field
+    rows = []
+    for term, pos in (("aa", np.array([big], np.int64)),
+                      ("bb", np.array([big + 1], np.int64))):
+        blk = encode_blocks(np.array([5]), np.array([1]),
+                            np.array([big + 100]), avgdl=50.0)[0]
+        blk["pos_bytes"] = encode_positions(pos, np.array([1]))
+        rows.append(dict(shard_id=0, term=term, **blk))
+    idfs = {"aa": 1.0, "bb": 1.0}
+    kern = Q._score_shard_kernel(
+        [{"query_id": 0, "terms": ["aa", "bb"], "mode": "PHRASE", "k": 10}],
+        idfs, 50.0, 1.2, 0.75)
+    with pytest.raises(ValueError, match="2\\^32"):
+        kern(pd.DataFrame(rows))

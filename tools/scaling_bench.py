@@ -125,24 +125,89 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 2) -> dict:
             "cpu_scaling_efficiency": round((out[hi] / out[lo]) / (hi / lo), 3)}
 
 
+# Process-group bookkeeping for the orphan guard: each level child runs in
+# its OWN session/process group (executors and pyspark daemons it spawns
+# inherit the pgid), and the pgid is recorded here. A later bench run kills
+# exactly these recorded groups — never `pkill -f CoarseGrainedExecutor...`,
+# which would take down every Spark session on the host.
+PIDFILE = "/tmp/smis_scaling_bench.pids"
+
+
+def _record_pid(pid: int) -> None:
+    with open(PIDFILE, "a") as f:
+        f.write(f"{pid}\n")
+
+
+def _unrecord_pid(pid: int) -> None:
+    if not os.path.exists(PIDFILE):
+        return
+    with open(PIDFILE) as f:
+        pids = [ln.strip() for ln in f if ln.strip() and ln.strip() != str(pid)]
+    with open(PIDFILE, "w") as f:
+        f.write("".join(p + "\n" for p in pids))
+
+
+def kill_stale_bench_groups() -> None:
+    """Kill process groups left over from PREVIOUS bench runs (a run killed
+    by timeout orphans its level child: JVM + executors + python workers keep
+    running and contend with the next run — observed a 7x-slower level-0).
+    Scoped to pgids this tool recorded; a recycled pid is only killed if it
+    still looks like one of our python children."""
+    import signal
+    if not os.path.exists(PIDFILE):
+        return
+    with open(PIDFILE) as f:
+        pids = [int(ln) for ln in f if ln.strip().isdigit()]
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            continue  # already gone
+        if "python" not in cmd and "java" not in cmd:
+            continue  # pid recycled by something else — leave it alone
+        try:
+            os.killpg(pid, signal.SIGKILL)
+            print(f"killed stale bench process group {pid}", flush=True)
+        except (ProcessLookupError, PermissionError):
+            pass
+    os.remove(PIDFILE)
+
+
 def run_level(cpus: int, src: str, work: str, shards: int = 8,
               reducers: int = 64, fanout: int = 8,
-              master: str | None = None, reps: int = 2) -> dict:
+              master: str | None = None, reps: int = 2,
+              timeout: int = 3600) -> dict:
     idx = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
     code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx,
                          shards=shards, reducers=reducers, fanout=fanout,
                          master=master or f"local[{cpus}]", reps=reps)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=3600)
-    for line in out.stdout.splitlines():
+    # start_new_session=True ⇒ the child (and every executor/daemon it
+    # spawns) lives in its own process group, killable as a unit
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, start_new_session=True)
+    _record_pid(proc.pid)
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        import signal
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)  # whole group, no orphans
+        except ProcessLookupError:
+            pass
+        _unrecord_pid(proc.pid)
+        raise
+    _unrecord_pid(proc.pid)
+    for line in stdout.splitlines():
         if line.startswith("RESULT "):
             got = json.loads(line[len("RESULT "):])
             # surface each finished level immediately: a killed parent must
             # not lose completed-level evidence (learned the hard way)
             print("LEVEL " + json.dumps(got), flush=True)
             return got
-    raise RuntimeError(f"level {cpus} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+    raise RuntimeError(f"level {cpus} failed:\n{stdout[-2000:]}\n{stderr[-4000:]}")
 
 
 def main() -> None:
@@ -168,14 +233,16 @@ def main() -> None:
     ap.add_argument("--src", default=None,
                     help="reuse an existing synthesized corpus dir "
                          "(skips synthesis; --turns is ignored for sizing)")
+    ap.add_argument("--level-timeout", type=int, default=3600,
+                    help="per-level wall-clock budget in seconds (raise for "
+                         ">=16M-turn runs; on expiry the whole level process "
+                         "GROUP is killed, leaving no orphans)")
     args = ap.parse_args()
 
-    # Orphan guard: a previous run killed by timeout leaves its level child
-    # (JVM + executors + python workers) running — which then CONTENDS with
-    # this run's measured levels and silently poisons the numbers (observed:
-    # a 7x-slower level-0 phase). Kill strays before measuring.
-    for pat in ("CoarseGrainedExecutorBackend", "pyspark.daemon"):
-        subprocess.run(["pkill", "-f", pat], check=False)
+    # Orphan guard, scoped to THIS tool's recorded process groups (a blanket
+    # pkill of CoarseGrainedExecutorBackend/pyspark.daemon would destroy any
+    # unrelated Spark session on the host).
+    kill_stale_bench_groups()
 
     work = tempfile.mkdtemp(prefix="smis_scaling_")
     src = args.src or os.path.join(work, "transcripts")
@@ -208,17 +275,19 @@ def main() -> None:
         print("CEILING " + json.dumps(ceiling), flush=True)
         r_lo = run_level(lo * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{lo},{c},8192]",
-                         reps=args.reps)
+                         reps=args.reps, timeout=args.level_timeout)
         r_hi = run_level(hi * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{hi},{c},8192]",
-                         reps=args.reps)
+                         reps=args.reps, timeout=args.level_timeout)
     else:
         ceiling = cpu_ceiling(lo, hi)
         print("CEILING " + json.dumps(ceiling), flush=True)
         r_lo = run_level(lo, src, work, args.shards, args.reducers,
-                         args.fanout, reps=args.reps)
+                         args.fanout, reps=args.reps,
+                         timeout=args.level_timeout)
         r_hi = run_level(hi, src, work, args.shards, args.reducers,
-                         args.fanout, reps=args.reps)
+                         args.fanout, reps=args.reps,
+                         timeout=args.level_timeout)
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
     eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
