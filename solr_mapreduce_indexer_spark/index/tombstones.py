@@ -49,7 +49,8 @@ def write_tombstones(losers: DataFrame, path: str, n: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _load_range_cached(path: str, lo: int, hi: int) -> np.ndarray:
+def _load_range_cached(path: str, lo: int, hi: int,
+                       file_token: int) -> np.ndarray:
     import pyarrow.dataset as ds
     flt = (ds.field("doc_id") >= lo) & (ds.field("doc_id") <= hi)
     tab = (ds.dataset(path, format="parquet")
@@ -66,7 +67,14 @@ def load_tombstones_range(path: str, lo_doc: int, hi_doc: int,
     The range is widened to micro-shard boundaries (doc_id high bits) so all
     kernels working the same shard share one cache entry per process — a
     compact pass over S terms of one shard reads the parquet once, not S
-    times. Runs inside executors; the driver never materializes tombstones."""
+    times. Runs inside executors; the driver never materializes tombstones.
+
+    The cache key includes a fingerprint of the parquet file listing (Spark
+    part-file names are unique per write), so a long-lived worker process
+    never serves a stale set after the same path is overwritten by a
+    re-merge; the listing is a metadata-only call on any filesystem."""
+    import pyarrow.dataset as ds
+    token = hash(tuple(sorted(ds.dataset(path, format="parquet").files)))
     lo = (int(lo_doc) >> doc_bits) << doc_bits
     hi = (((int(hi_doc) >> doc_bits) + 1) << doc_bits) - 1
-    return _load_range_cached(path, lo, hi)
+    return _load_range_cached(path, lo, hi, token)

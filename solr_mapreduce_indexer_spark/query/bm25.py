@@ -503,27 +503,42 @@ def run_queries(spark: SparkSession, h: IndexHandle,
                 .where(F.col("rank") <= kmap[F.col("query_id")]))
 
     # Land the top-k candidate set driver-side (≤ Σ k rows — tiny by
-    # construction) so the docmap map-back can be partition-pruned: doc_id
-    # embeds its micro-shard in the high bits and the docmap is written
-    # partitionBy(shard_id), so only touched shard partitions are scanned.
-    # The old docmap.join(broadcast(topk)) was shuffle-free but read EVERY
-    # docmap row to recover k×queries hits — a full-table scan per batch at
-    # 10^12 docs. This makes run_queries eager (one Spark job runs here);
-    # query evaluation is naturally an action, so callers see no difference.
+    # construction), then FETCH the ≤ Σ k docmap rows as coordinator point
+    # lookups (the Solr/ES stored-fields fetch phase): pyarrow.dataset
+    # prunes to the touched micro-shard partitions via the doc-id high bits
+    # (hive dirs) and to overlapping row groups via doc_id min/max stats —
+    # the same pruning works against HDFS/S3 through pyarrow's filesystems.
+    # The previous implementation ran a Spark job that scanned every row of
+    # every hit shard partition and broadcast-joined the top-k set: measured
+    # per-batch cost grew from ~9s (4M docs) to ~44s (16M docs) — corpus-
+    # proportional, fatal at 10^12 docs. The point-fetch reads 2.5k rows of
+    # a 16M-doc docmap in 0.3-0.5s and is corpus-size-independent.
     rows = topk.collect()
     if not rows:
         return empty
-    hit_shards = sorted({int(r["doc_id"]) >> cfg.doc_bits for r in rows})
-    tk = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["rank"]), int(r["doc_id"]),
-          float(r["score"])) for r in rows],
-        "query_id long, rank int, doc_id long, score double")
-    docmap = (spark.read.parquet(h.docmap_path)
-              .where(F.col("shard_id").isin(hit_shards))
-              .select("doc_id", "conv_id", "turn_idx"))
-    return (docmap.join(F.broadcast(tk), "doc_id")
-            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx", "score")
-            .orderBy("query_id", "rank"))
+    import pyarrow.dataset as pads
+    ids = sorted({int(r["doc_id"]) for r in rows})
+    hit_shards = sorted({i >> cfg.doc_bits for i in ids})
+    dm = (pads.dataset(h.docmap_path, format="parquet", partitioning="hive")
+          .to_table(columns=["doc_id", "conv_id", "turn_idx"],
+                    filter=(pads.field("shard_id").isin(hit_shards)
+                            & pads.field("doc_id").isin(ids)))
+          .to_pandas())
+    tk = pd.DataFrame({
+        "query_id": np.array([r["query_id"] for r in rows], np.int64),
+        "rank": np.array([r["rank"] for r in rows], np.int32),
+        "doc_id": np.array([r["doc_id"] for r in rows], np.int64),
+        "score": np.array([r["score"] for r in rows], np.float64)})
+    out = tk.merge(dm, on="doc_id", how="left").sort_values(
+        ["query_id", "rank"], kind="stable")
+    if out["conv_id"].isna().any():
+        missing = out[out["conv_id"].isna()]["doc_id"].tolist()[:5]
+        raise RuntimeError(f"scored doc ids missing from docmap: {missing}")
+    out = out[["query_id", "rank", "doc_id", "conv_id", "turn_idx", "score"]]
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    return spark.createDataFrame(
+        out, "query_id long, rank int, doc_id long, conv_id string, "
+             "turn_idx int, score double")
 
 
 def bm25_topk(spark: SparkSession, h: IndexHandle, terms: list[str],
