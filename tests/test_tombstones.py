@@ -125,3 +125,25 @@ def test_reject_resolver_fails_loudly(spark, tmp_path):
     build_index(spark, _tr(spark, rows2), cfg, ib)
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_indexes(spark, [ia, ib], str(tmp_path / "m"))
+
+
+def test_range_load_sees_overwrite(tmp_path):
+    """A long-lived worker process must never serve a stale tombstone set
+    after the same path is overwritten by a re-merge: the per-process cache
+    keys on the parquet file LISTING (part names are unique per write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from solr_mapreduce_indexer_spark.index.tombstones import (
+        load_tombstones_range)
+    d = tmp_path / "tombs"
+    d.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([5, 9], pa.int64())}),
+                   d / "part-00000-aaaa.parquet")
+    got = load_tombstones_range(str(d), 0, 100, doc_bits=4)
+    assert got.tolist() == [5, 9]
+    # overwrite: different file name, different content — same path
+    (d / "part-00000-aaaa.parquet").unlink()
+    pq.write_table(pa.table({"doc_id": pa.array([7], pa.int64())}),
+                   d / "part-00000-bbbb.parquet")
+    got2 = load_tombstones_range(str(d), 0, 100, doc_bits=4)
+    assert got2.tolist() == [7], "stale cached tombstones served"
