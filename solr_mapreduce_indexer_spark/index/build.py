@@ -326,16 +326,22 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     if ck is None:
         from pyspark.sql import Observation
         t0 = time.time()
-        # corpus stats ride the write job as Observation metrics (exact —
-        # accumulator updates inside actions apply once per task) instead of
+        # corpus stats ride the write job as Observation metrics instead of
         # a second full docmap scan: one fewer Spark job of
-        # corpus-size-independent scheduling latency per build
+        # corpus-size-independent scheduling latency per build. The observe
+        # sits BELOW the write but ABOVE (downstream of) the repartition
+        # exchange, so the CollectMetrics node runs in the RESULT stage —
+        # Spark's exactly-once accumulator guarantee covers result-stage
+        # tasks only; placed in the shuffle-map stage, a fetch-failure retry
+        # or speculative task would double-count n_docs/avgdl and silently
+        # skew BM25 idf on a real cluster. Hash repartition has no sampling
+        # pre-pass, so rows still flow through the metrics node exactly once.
         obs = Observation()
         (docmap_cols(get_docs(), cfg)
+          .repartition(partitions, "shard_id")
           .observe(obs, F.count(F.lit(1)).alias("n_docs"),
                    F.avg("doc_len").alias("avgdl"),
                    F.sum("doc_len").alias("total_tokens"))
-          .repartition(partitions, "shard_id")
           .write.mode("overwrite").option("compression", cfg.compression)
           .partitionBy("shard_id").parquet(docmap_path))
         agg = obs.get

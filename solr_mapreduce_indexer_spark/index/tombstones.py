@@ -50,7 +50,7 @@ def write_tombstones(losers: DataFrame, path: str, n: int,
 
 @functools.lru_cache(maxsize=8)
 def _load_range_cached(path: str, lo: int, hi: int,
-                       file_token: int) -> np.ndarray:
+                       files: tuple[str, ...]) -> np.ndarray:
     import pyarrow.dataset as ds
     flt = (ds.field("doc_id") >= lo) & (ds.field("doc_id") <= hi)
     tab = (ds.dataset(path, format="parquet")
@@ -69,12 +69,15 @@ def load_tombstones_range(path: str, lo_doc: int, hi_doc: int,
     compact pass over S terms of one shard reads the parquet once, not S
     times. Runs inside executors; the driver never materializes tombstones.
 
-    The cache key includes a fingerprint of the parquet file listing (Spark
+    The cache key includes the sorted parquet file listing itself (Spark
     part-file names are unique per write), so a long-lived worker process
     never serves a stale set after the same path is overwritten by a
-    re-merge; the listing is a metadata-only call on any filesystem."""
+    re-merge; the listing is a metadata-only call on any filesystem.
+    lru_cache compares keys by EQUALITY (hashing only buckets), so two
+    different listings can never alias — a pre-collapsed hash() token could
+    collide and silently serve a stale set."""
     import pyarrow.dataset as ds
-    token = hash(tuple(sorted(ds.dataset(path, format="parquet").files)))
+    files = tuple(sorted(ds.dataset(path, format="parquet").files))
     lo = (int(lo_doc) >> doc_bits) << doc_bits
     hi = (((int(hi_doc) >> doc_bits) + 1) << doc_bits) - 1
-    return _load_range_cached(path, lo, hi, token)
+    return _load_range_cached(path, lo, hi, files)

@@ -100,7 +100,7 @@ def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[s
 # Decoded-block observability: incremented on every block-cache MISS inside
 # the scoring kernel. Executors each have their own copy; tests call the
 # kernel in-process to measure pruning (see tests/test_blockmax.py).
-DECODE_STATS = {"blocks_decoded": 0}
+DECODE_STATS = {"blocks_decoded": 0, "pos_blocks_decoded": 0}
 
 _EPS = 1e-9  # absolute slack on bound-vs-theta comparisons (scores are O(10))
 
@@ -229,6 +229,7 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                     got = (d, tf, dl, p)
                     pos_cache[(t, i)] = got
                     DECODE_STATS["blocks_decoded"] += 1
+                    DECODE_STATS["pos_blocks_decoded"] += 1
                 ds_.append(got[0]); ts_.append(got[1])
                 ls_.append(got[2]); ps_.append(got[3])
             if not ds_:
@@ -316,26 +317,37 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                 if len(terms) > PAD:
                     raise ValueError(f"phrase longer than {PAD} terms "
                                      "is unsupported")
+                if "pos_bytes" not in pdf.columns:
+                    raise ValueError(
+                        "PHRASE queries require an index built with "
+                        "positions=True (IndexConfig.positions)")
                 by_rarity = sorted(uniqs, key=lambda t: (-idfs[t], t))
+                # Phase 1 is postings-only (decode_blocks): the doc/tf/len
+                # streams are separate payloads from positions, so a block
+                # ruled out here NEVER pays position decode — even the lead
+                # term's. Positions are decoded lazily in phase 2 for
+                # candidate-overlapping blocks only (Lucene's two-phase
+                # iterator: matches() runs only on approximation hits).
                 t0 = by_rarity[0]
-                d0, _tf0, dl0, _p0 = decode_pos_blocks(
+                d0, _c0 = decode_blocks(
                     t0, np.arange(len(term_meta(t0)[0])))
                 cand = d0
                 for t in by_rarity[1:]:
-                    d, _tf, _dl, _p = decode_pos_blocks(
-                        t, blocks_hitting(t, cand))
+                    d, _c = decode_blocks(t, blocks_hitting(t, cand))
                     cand = cand[np.isin(cand, d, assume_unique=True)]
                     if not len(cand):
                         break
                 if not len(cand):
                     continue
-                dls_cand = dl0[np.searchsorted(d0, cand)]
+                dls_cand = None
                 keys = None
                 for i, t in enumerate(terms):
-                    docs_t, tfs_t, _dls_t, pflat = decode_pos_blocks(
+                    docs_t, tfs_t, dls_t, pflat = decode_pos_blocks(
                         t, blocks_hitting(t, cand))
                     offs = np.cumsum(tfs_t) - tfs_t
                     ix = np.searchsorted(docs_t, cand)
+                    if dls_cand is None:
+                        dls_cand = dls_t[ix]
                     ls, st = tfs_t[ix], offs[ix]
                     total = int(ls.sum())
                     gi = (np.arange(total, dtype=np.int64)

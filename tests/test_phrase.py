@@ -218,16 +218,21 @@ def test_phrase_prunes_hot_term_blocks(zipf_positional):
     from solr_mapreduce_indexer_spark.query import bm25 as Q
     docs, pdf, idfs, doc_lens, avgdl = zipf_positional
     Q.DECODE_STATS["blocks_decoded"] = 0
+    Q.DECODE_STATS["pos_blocks_decoded"] = 0
     kern = Q._score_shard_kernel(
         [{"query_id": 0, "terms": ["rare", "hot"], "mode": "PHRASE",
           "k": 100}], idfs, avgdl, 1.2, 0.75)
     res = kern(pdf)
-    decoded = Q.DECODE_STATS["blocks_decoded"]
+    pos_decoded = Q.DECODE_STATS["pos_blocks_decoded"]
+    postings_decoded = Q.DECODE_STATS["blocks_decoded"] - pos_decoded
     total = int(pdf.term.isin(["rare", "hot"]).sum())
     # exhaustive (round-3 behavior) decoded every block of both terms;
-    # conjunction-driven must touch a small fraction: all of 'rare'
-    # (1-2 blocks) + only candidate-overlapping blocks of 'hot'
-    assert decoded < 0.6 * total, (decoded, total)
+    # conjunction-driven must touch a small fraction PER PAYLOAD: all of
+    # 'rare' (1-2 blocks) + only candidate-overlapping blocks of 'hot' —
+    # for the postings stream in phase 1 and (since round-5 lazy decode,
+    # counted separately) the position stream in phase 2
+    assert postings_decoded < 0.6 * total, (postings_decoded, total)
+    assert pos_decoded < 0.6 * total, (pos_decoded, total)
     # and the results must still be exactly right
     want = phrase_oracle([" ".join(t) for t in docs], ["rare", "hot"])
     got = dict(zip(res.doc_id, res.score))
@@ -256,3 +261,53 @@ def test_phrase_position_overflow_fails_loudly():
         idfs, 50.0, 1.2, 0.75)
     with pytest.raises(ValueError, match="2\\^32"):
         kern(pd.DataFrame(rows))
+
+
+def test_phase1_ruled_out_blocks_never_pay_position_decode():
+    """Round-5 lazy decode: phase 1 is postings-only, so a lead-term block
+    whose docs are all eliminated by the conjunction NEVER decodes its
+    position payload. Fixture: 'lead' (rarest, leads) spans 16 blocks across
+    the whole doc range; 'com' restricts candidates to the first ~90 docs —
+    phase 2 must touch positions for only the few candidate-overlapping
+    blocks, while phase 1 postings-decodes dozens."""
+    from solr_mapreduce_indexer_spark.query import bm25 as Q
+    rng = np.random.default_rng(23)
+    fillers = [f"g{i:02d}" for i in range(20)]
+    docs = []
+    for d in range(4000):
+        toks = list(rng.choice(fillers, rng.integers(8, 20)))
+        if d % 8 == 0:
+            j = int(rng.integers(0, len(toks)))
+            if d < 96:  # phrase "lead com" adjacent here only
+                toks[j:j] = ["lead", "com"]
+            else:
+                toks.insert(j, "lead")
+        elif d < 96 or (d >= 2000 and d % 2 == 1):
+            toks.insert(int(rng.integers(0, len(toks))), "com")
+    # 'lead' df=500 (rarest -> leads, ~16 blocks over the full range);
+    # 'com' df~1080; candidates = docs {0,8,...,88} only.
+        docs.append(toks)
+    avgdl = float(np.mean([len(t) for t in docs]))
+    pdf, idfs, doc_lens = _positional_table(docs, avgdl)
+    assert idfs["lead"] > idfs["com"]  # 'lead' really is the lead term
+    n_lead_blocks = int((pdf.term == "lead").sum())
+    assert n_lead_blocks >= 12
+    Q.DECODE_STATS["blocks_decoded"] = 0
+    Q.DECODE_STATS["pos_blocks_decoded"] = 0
+    kern = Q._score_shard_kernel(
+        [{"query_id": 0, "terms": ["lead", "com"], "mode": "PHRASE",
+          "k": 100}], idfs, avgdl, 1.2, 0.75)
+    res = kern(pdf)
+    pos_decoded = Q.DECODE_STATS["pos_blocks_decoded"]
+    all_decoded = Q.DECODE_STATS["blocks_decoded"]
+    # candidates live in docs 0..88: <=2 lead blocks + <=4 com blocks
+    assert pos_decoded <= 6, (pos_decoded, all_decoded)
+    # phase 1 postings-decoded far more (all 16 lead + most com blocks)
+    assert all_decoded - pos_decoded >= 3 * pos_decoded, \
+        (pos_decoded, all_decoded)
+    # results still exactly right
+    want = phrase_oracle([" ".join(t) for t in docs], ["lead", "com"])
+    got = dict(zip(res.doc_id, res.score))
+    assert set(got) == set(want) != set()
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
