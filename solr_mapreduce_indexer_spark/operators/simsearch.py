@@ -53,11 +53,12 @@ def kmeans_centroids(df: DataFrame, vec_col: str = "embedding",
                      seed: int = 42, sample_cap: int = 100_000) -> np.ndarray:
     """Driver-side k-means on a bounded sample (Lloyd's, numpy). The sample
     cap keeps the driver memory O(sample), independent of table size."""
-    frac_df = df.select(vec_col)
-    n = frac_df.count()
-    if n > sample_cap:
-        frac_df = frac_df.sample(fraction=sample_cap / n, seed=seed)
-    m = np.stack(frac_df.toPandas()[vec_col].to_numpy())
+    # uniform sample of exactly min(n, cap) rows in ONE pass: top-cap by a
+    # seeded random key is TakeOrderedAndProject (per-partition heap of
+    # `cap` rows, no shuffle of the full table) — avoids the full-table
+    # count() action a fraction-based sample would need first
+    samp = (df.select(vec_col).orderBy(F.rand(seed)).limit(sample_cap))
+    m = np.stack(samp.toPandas()[vec_col].to_numpy())
     rng = np.random.default_rng(seed)
     cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):

@@ -528,14 +528,29 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     rows = topk.collect()
     if not rows:
         return empty
-    import pyarrow.dataset as pads
     ids = sorted({int(r["doc_id"]) for r in rows})
     hit_shards = sorted({i >> cfg.doc_bits for i in ids})
-    dm = (pads.dataset(h.docmap_path, format="parquet", partitioning="hive")
-          .to_table(columns=["doc_id", "conv_id", "turn_idx"],
-                    filter=(pads.field("shard_id").isin(hit_shards)
-                            & pads.field("doc_id").isin(ids)))
-          .to_pandas())
+    try:
+        import pyarrow.dataset as pads
+        dm = (pads.dataset(h.docmap_path, format="parquet",
+                           partitioning="hive")
+              .to_table(columns=["doc_id", "conv_id", "turn_idx"],
+                        filter=(pads.field("shard_id").isin(hit_shards)
+                                & pads.field("doc_id").isin(ids)))
+              .to_pandas())
+    except Exception:
+        # pyarrow reads storage with ITS OWN filesystem/credential stack,
+        # not Spark's Hadoop conf — on kerberized HDFS or S3A with
+        # cluster-side-only credentials the point-fetch can fail even
+        # though every Spark read works. Degrade to the partition-pruned
+        # Spark read (slower: scheduling latency + row-group scan, still
+        # pruned to hit shards and pushed doc_id IN filter) instead of
+        # failing the batch. See README "Storage access" note.
+        dm = (spark.read.parquet(h.docmap_path)
+              .where(F.col("shard_id").isin([int(s) for s in hit_shards]))
+              .where(F.col("doc_id").isin([int(i) for i in ids]))
+              .select("doc_id", "conv_id", "turn_idx")
+              .toPandas())
     tk = pd.DataFrame({
         "query_id": np.array([r["query_id"] for r in rows], np.int64),
         "rank": np.array([r["rank"] for r in rows], np.int32),

@@ -108,3 +108,20 @@ def test_single_query_helper(spark, index, oracle):
     got = bm25_topk(spark, index, [NEEDLES[1]], k=5).toPandas()
     want = oracle.score([NEEDLES[1]], "AND", 5)
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_fetch_falls_back_to_spark_read(spark, index, oracle, monkeypatch):
+    """If the coordinator pyarrow point-fetch cannot see storage (auth lives
+    only in Spark's Hadoop conf on some clusters), run_queries must degrade
+    to the partition-pruned Spark docmap read, not fail the batch."""
+    import pyarrow.dataset as pads
+
+    def boom(*a, **kw):
+        raise OSError("no credentials visible to pyarrow")
+
+    monkeypatch.setattr(pads, "dataset", boom)
+    q = [{"query_id": 7, "terms": [NEEDLES[1]], "mode": "AND", "k": 5}]
+    got = run_queries(spark, index, q).toPandas().sort_values("rank")
+    want = oracle.score([NEEDLES[1]], "AND", 5)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
