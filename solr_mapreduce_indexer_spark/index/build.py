@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..config import IndexConfig
 from ..functions.analysis import tokenize_col
 from ..functions.routing import routing_pandas_udf
@@ -303,7 +304,7 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     from .merge import merge_to_target  # local import to avoid cycle
 
     ensure_shipped(spark)
-    os.makedirs(index_dir, exist_ok=True)
+    fsutil.mkdirs(index_dir)
     partitions, fanout, n_iters = cfg.plan_build_partitions()
 
     docmap_path = os.path.join(index_dir, "docmap")

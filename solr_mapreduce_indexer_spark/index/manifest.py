@@ -12,9 +12,10 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from dataclasses import asdict
 from typing import Any
+
+from .. import fsutil
 
 
 def _ckpt_dir(index_dir: str) -> str:
@@ -27,9 +28,18 @@ def checkpoint_path(index_dir: str, phase: str) -> str:
 
 def _relativize(index_dir: str, payload: dict[str, Any]) -> dict[str, Any]:
     """Record segment paths relative to the index dir so the whole index is
-    relocatable (copy/rename the dir, readers rebase on read)."""
+    relocatable (copy/rename the dir, readers rebase on read). Scheme'd
+    index dirs (hdfs://…) relativize by string prefix — same outcome, no
+    os.path URI mangling."""
     p = payload.get("path")
-    if p and os.path.isabs(p):
+    if not p:
+        return payload
+    if fsutil.has_scheme(index_dir) or fsutil.has_scheme(p):
+        base = index_dir.rstrip("/") + "/"
+        if p.startswith(base):
+            payload = dict(payload, path_rel=p[len(base):])
+        return payload
+    if os.path.isabs(p):
         rel = os.path.relpath(p, os.path.abspath(index_dir))
         if not rel.startswith(".."):
             payload = dict(payload, path_rel=rel)
@@ -39,27 +49,28 @@ def _relativize(index_dir: str, payload: dict[str, Any]) -> dict[str, Any]:
 def _rebase(index_dir: str, payload: dict[str, Any]) -> dict[str, Any]:
     rel = payload.get("path_rel")
     if rel:
-        payload = dict(payload, path=os.path.join(os.path.abspath(index_dir), rel))
+        base = (index_dir.rstrip("/") if fsutil.has_scheme(index_dir)
+                else os.path.abspath(index_dir))
+        payload = dict(payload, path=f"{base}/{rel}"
+                       if fsutil.has_scheme(index_dir)
+                       else os.path.join(base, rel))
     return payload
 
 
 def write_checkpoint(index_dir: str, phase: str, payload: dict[str, Any]) -> None:
-    """Atomic write-then-rename commit of one phase checkpoint."""
-    d = _ckpt_dir(index_dir)
-    os.makedirs(d, exist_ok=True)
+    """Atomic write-then-rename commit of one phase checkpoint (Hadoop
+    FileSystem create-overwrite for scheme'd index dirs)."""
+    fsutil.mkdirs(_ckpt_dir(index_dir))
     payload = dict(_relativize(index_dir, payload), phase=phase, complete=True)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=f".{phase}.", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(payload, f, indent=1, default=str)
-    os.replace(tmp, checkpoint_path(index_dir, phase))
+    fsutil.write_text_atomic(checkpoint_path(index_dir, phase),
+                             json.dumps(payload, indent=1, default=str))
 
 
 def read_checkpoint(index_dir: str, phase: str) -> dict[str, Any] | None:
     p = checkpoint_path(index_dir, phase)
-    if not os.path.exists(p):
+    if not fsutil.exists(p):
         return None
-    with open(p) as f:
-        payload = json.load(f)
+    payload = json.loads(fsutil.read_text(p))
     return _rebase(index_dir, payload) if payload.get("complete") else None
 
 
@@ -85,16 +96,16 @@ def write_manifest(index_dir: str, cfg, stats: dict[str, Any],
     }
     if tombstones:
         manifest["tombstones"] = _relativize(index_dir, tombstones)
-    fd, tmp = tempfile.mkstemp(dir=index_dir, prefix=".manifest.", suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, indent=1, default=str)
-    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+    fsutil.write_text_atomic(os.path.join(index_dir, "manifest.json"),
+                             json.dumps(manifest, indent=1, default=str))
     return manifest
 
 
 def read_manifest(index_dir: str) -> dict[str, Any]:
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        m = json.load(f)
+    p = os.path.join(index_dir, "manifest.json")
+    if not fsutil.exists(p):
+        raise FileNotFoundError(p)
+    m = json.loads(fsutil.read_text(p))
     m["levels"] = [_rebase(index_dir, lv) for lv in m.get("levels", [])]
     if m.get("tombstones"):
         m["tombstones"] = _rebase(index_dir, m["tombstones"])
@@ -125,6 +136,8 @@ def publish_index(index_dir: str, serving_dir: str) -> dict[str, Any]:
     import shutil
 
     manifest = read_manifest(index_dir)  # raises if not committed
+    if fsutil.has_scheme(index_dir) or fsutil.has_scheme(serving_dir):
+        return _publish_remote(index_dir, serving_dir, manifest)
     snaps = os.path.join(serving_dir, "snapshots")
     os.makedirs(snaps, exist_ok=True)
 
@@ -170,3 +183,61 @@ def publish_index(index_dir: str, serving_dir: str) -> dict[str, Any]:
     return {"serving": current, "snapshot": dst,
             "shards": manifest["shards"],
             "n_docs": manifest["stats"]["n_docs"]}
+
+
+def _publish_remote(index_dir: str, serving_dir: str,
+                    manifest: dict[str, Any]) -> dict[str, Any]:
+    """publish_index for scheme'd paths (hdfs://, s3a://, file: test double).
+
+    HDFS/S3 have no symlinks, so the live pointer is a ``CURRENT`` file in
+    serving_dir containing the snapshot name — the Lucene segments.gen /
+    HBase hbase.version pattern. Committed with create(overwrite=True):
+    visible-at-close on HDFS, atomic PUT on S3. Readers resolve via
+    resolve_current(). Same max+1 naming, same content idempotence, same
+    inprogress-then-rename snapshot commit as the local path — but rename
+    uses Hadoop FileSystem (atomic dir rename on HDFS)."""
+    snaps = serving_dir.rstrip("/") + "/snapshots"
+    fsutil.mkdirs(snaps)
+    current = serving_dir.rstrip("/") + "/CURRENT"
+
+    my_manifest = fsutil.read_text(
+        index_dir.rstrip("/") + "/manifest.json")
+    if fsutil.exists(current):
+        live = snaps + "/" + fsutil.read_text(current).strip()
+        live_mf = live + "/manifest.json"
+        if fsutil.exists(live_mf) and fsutil.read_text(live_mf) == my_manifest:
+            return {"serving": current, "snapshot": live,
+                    "shards": manifest["shards"],
+                    "n_docs": manifest["stats"]["n_docs"],
+                    "rerun": True}
+
+    nums = [int(n[5:]) for n in fsutil.listdir(snaps)
+            if n.startswith("snap_") and n[5:].isdigit()]
+    name = f"snap_{(max(nums) + 1 if nums else 0):06d}"
+    dst = snaps + "/" + name
+    tmp = dst + ".inprogress"
+    fsutil.delete(tmp, ignore_missing=True)
+    fsutil.copy_dir(index_dir, tmp)
+    if fsutil.exists(dst):
+        fsutil.delete(tmp, ignore_missing=True)
+        raise FileExistsError(
+            f"snapshot {dst} appeared concurrently; retry publish")
+    fsutil.rename(tmp, dst)
+    fsutil.write_text_atomic(current, name + "\n")
+    return {"serving": current, "snapshot": dst,
+            "shards": manifest["shards"],
+            "n_docs": manifest["stats"]["n_docs"]}
+
+
+def resolve_current(serving_dir: str) -> str:
+    """Path of the live snapshot under a serving dir, for either layout:
+    local symlink (``current``) or remote pointer file (``CURRENT``)."""
+    if not fsutil.has_scheme(serving_dir):
+        cur = os.path.join(serving_dir, "current")
+        if os.path.islink(cur):
+            return os.path.realpath(cur)
+    pointer = serving_dir.rstrip("/") + "/CURRENT"
+    if fsutil.exists(pointer):
+        return (serving_dir.rstrip("/") + "/snapshots/"
+                + fsutil.read_text(pointer).strip())
+    raise FileNotFoundError(f"no live snapshot under {serving_dir}")

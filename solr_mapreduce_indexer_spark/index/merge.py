@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fsutil
 from ..config import IndexConfig
 from . import manifest as mf
 from .codec import decode_block, encode_blocks
@@ -294,7 +295,7 @@ def merge_indexes(spark: SparkSession, input_dirs: list[str],
                 f"positions={base.positions} vs {c.positions} — rebuild the "
                 "non-positional input with positions=True (or both without)")
 
-    os.makedirs(out_dir, exist_ok=True)
+    fsutil.mkdirs(out_dir)
     n_docs = sum(int(m["stats"]["n_docs"]) for m in manifests)
     total_tokens = sum(int(m["stats"]["total_tokens"]) for m in manifests)
     avgdl = total_tokens / n_docs if n_docs else 0.0  # all-empty inputs →
@@ -435,9 +436,7 @@ def compact_final(spark: SparkSession, index_dir: str,
                     F.avg("doc_len").alias("avgdl"),
                     F.coalesce(F.sum("doc_len"), F.lit(0)).alias("tt"))
                .collect()[0])
-        import shutil
-        shutil.rmtree(docmap_path)
-        os.replace(live_path, docmap_path)
+        fsutil.replace_dir(live_path, docmap_path)
         stats = {"n_docs": int(agg["n"]),
                  "avgdl": float(agg["avgdl"] or 0.0),
                  "total_tokens": int(agg["tt"])}
@@ -451,8 +450,7 @@ def compact_final(spark: SparkSession, index_dir: str,
         from .build import write_term_stats
         term_stats_path = os.path.join(index_dir, "term_stats")
         stats["n_terms"] = write_term_stats(spark, path, term_stats_path)
-        import shutil
-        shutil.rmtree(m["tombstones"]["path"], ignore_errors=True)
+        fsutil.delete(m["tombstones"]["path"], ignore_missing=True)
 
     levels = m["levels"][:-1] + [dict(final, path=path, compacted=True,
                                       segments=segment_metrics(spark, path))]

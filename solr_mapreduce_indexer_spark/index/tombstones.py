@@ -77,6 +77,9 @@ def load_tombstones_range(path: str, lo_doc: int, hi_doc: int,
     different listings can never alias — a pre-collapsed hash() token could
     collide and silently serve a stale set."""
     import pyarrow.dataset as ds
+
+    from ..fsutil import local_path
+    path = local_path(path)  # Spark emits file:/… URIs pyarrow won't parse
     files = tuple(sorted(ds.dataset(path, format="parquet").files))
     lo = (int(lo_doc) >> doc_bits) << doc_bits
     hi = (((int(hi_doc) >> doc_bits) + 1) << doc_bits) - 1

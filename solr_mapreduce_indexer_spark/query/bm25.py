@@ -532,7 +532,9 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     hit_shards = sorted({i >> cfg.doc_bits for i in ids})
     try:
         import pyarrow.dataset as pads
-        dm = (pads.dataset(h.docmap_path, format="parquet",
+
+        from ..fsutil import local_path
+        dm = (pads.dataset(local_path(h.docmap_path), format="parquet",
                            partitioning="hive")
               .to_table(columns=["doc_id", "conv_id", "turn_idx"],
                         filter=(pads.field("shard_id").isin(hit_shards)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..functions.routing import routing_pandas_udf
+from .. import fsutil
 from ..index import manifest as mf
 from ..index.build import build_postings, docmap_cols
 from ..operators.dedup import RESOLVERS
@@ -87,7 +88,7 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     if ck is not None:
         return ck
     ensure_shipped(spark)
-    os.makedirs(index_dir, exist_ok=True)
+    fsutil.mkdirs(index_dir)
 
     docmap_path = os.path.join(index_dir, f"docmap_gen_{gen}")
     seg_path = os.path.join(index_dir, "segments", f"gen_{gen}")
