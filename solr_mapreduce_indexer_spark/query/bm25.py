@@ -6,13 +6,17 @@ Semantics target (SURVEY §2.7): Lucene/Solr 7.7.2 BM25Similarity —
   score(q,d)  = Σ_t idf(t) * tfnorm(t,d)        (k1=1.2, b=0.75)
 AND = posting intersection, OR = union; ties break by ascending doc_id.
 
-Physical plan: parquet scan of block rows filtered by `term IN (...)` (pushed
-to the scan; segments are written sorted by term so row-group stats prune),
-then ONE applyInPandas per shard scores every query in the batch vectorized
-(numpy), emits per-(query, shard) top-k candidates, and a final global
-orderBy(score desc, doc_id asc).limit(k) resolves each query. All float math
-is float64 with a fixed term-iteration order (sorted terms) so results are
-reproducible and oracle-comparable.
+Physical plan (default, Solr/ES fan-out shape): ONE task per shard reads its
+own hive partition of the served level directly — pyarrow with the batch's
+`term IN (...)` pushed down; segments are written sorted by term so
+row-group stats prune — and scores every query in the batch vectorized
+(numpy), emitting per-(query, shard) top-k candidates; a final global
+orderBy(score desc, doc_id asc).limit(k) resolves each query. No shuffle
+touches payload bytes. A legacy plan (parquet scan stage → hash exchange →
+per-shard applyInPandas kernel) remains as the automatic fallback for
+storage only Spark's Hadoop conf can open. All float math is float64 with a
+fixed term-iteration order (sorted terms) so results are reproducible and
+oracle-comparable across both plans.
 
 Block-max pruning (SURVEY §2.7 Q5; Ding & Suel SIGIR'11, reference semantics
 from shaded Lucene's BlockMax WAND): every block stores max_tfnorm, so
@@ -66,6 +70,7 @@ class IndexHandle:
     term_stats_path: str
     docmap_path: str
     tombstones_path: str | None = None
+    shard_ids: tuple = ()  # shard ids of the final (served) level
 
 
 def load_index(index_dir: str) -> IndexHandle:
@@ -74,6 +79,12 @@ def load_index(index_dir: str) -> IndexHandle:
                          for k, v in m["config"].items()})
     final = m["levels"][-1]
     tombs = m.get("tombstones")
+    # The served level's shard ids come from the manifest, NOT cfg.shards:
+    # a merge-less or streaming-generation index serves straight from a
+    # micro-sharded level.
+    sids = tuple(sorted(int(s["shard_id"]) for s in final.get("segments", [])))
+    if not sids and "n_shards" in final:
+        sids = tuple(range(int(final["n_shards"])))
     return IndexHandle(
         index_dir=index_dir,
         cfg=cfg,
@@ -83,6 +94,7 @@ def load_index(index_dir: str) -> IndexHandle:
         term_stats_path=os.path.join(index_dir, "term_stats"),
         docmap_path=os.path.join(index_dir, "docmap"),
         tombstones_path=tombs["path"] if tombs else None,
+        shard_ids=sids,
     )
 
 
@@ -103,6 +115,56 @@ def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[s
 DECODE_STATS = {"blocks_decoded": 0, "pos_blocks_decoded": 0}
 
 _EPS = 1e-9  # absolute slack on bound-vs-theta comparisons (scores are O(10))
+
+DIRECT_FETCH = True
+"""When True (default), each shard's scoring task reads its own hive
+partition of the served postings level directly (pyarrow, term-IN pushdown,
+row-group pruning via the term-sorted file layout) — a Solr/ES shard reading
+its own segment files. The whole batch then runs as ONE stage of |shards|
+tasks with no exchange. The legacy plan (parquet scan stage → hash shuffle →
+per-shard kernel) moved every matching block's payload bytes through the
+shuffle — on positional indexes including pos_bytes for every term in the
+batch — which at 16M docs is GBs per Zipf-head batch and was the dominant
+poorly-scaling query cost. Falls back to the legacy plan when pyarrow's own
+filesystem stack can't see the postings path (same credential split as the
+docmap point-fetch; see README "Storage access")."""
+
+
+def _direct_fetch_gen(postings_path: str, present: list[str],
+                      phrase_terms: list[str], score_fn):
+    """mapInPandas generator: rows of shard ids → scored candidates.
+
+    Reads ONLY the columns the kernel touches (term, doc range, max_tfnorm,
+    payload bytes) — the legacy exchange also carried n/max_tf/sum_tf/min_dl.
+    Position payloads load only for the batch's PHRASE terms; the kernel's
+    lazy phase 2 then decodes just the candidate-overlapping blocks of
+    those."""
+    cols = ["term", "first_doc", "last_doc", "max_tfnorm",
+            "doc_bytes", "tf_bytes", "len_bytes"]
+
+    def gen(pdfs):
+        import pyarrow.dataset as pads
+
+        from ..fsutil import local_path
+        ds = pads.dataset(local_path(postings_path), format="parquet",
+                          partitioning="hive")
+        want_pos = bool(phrase_terms) and "pos_bytes" in ds.schema.names
+        for pdf in pdfs:
+            for sid in pdf["shard_id"].tolist():
+                blocks = ds.to_table(
+                    columns=cols,
+                    filter=((pads.field("shard_id") == int(sid))
+                            & pads.field("term").isin(present))).to_pandas()
+                if want_pos:
+                    pos = ds.to_table(
+                        columns=["term", "first_doc", "pos_bytes"],
+                        filter=((pads.field("shard_id") == int(sid))
+                                & pads.field("term").isin(phrase_terms))
+                        ).to_pandas()
+                    blocks = blocks.merge(pos, on=["term", "first_doc"],
+                                          how="left")
+                yield score_fn(blocks)
+    return gen
 
 
 def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
@@ -498,15 +560,42 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     # the same hot terms appear in every slice, so slicing multiplies the
     # dominant decode work by the slice count while the per-shard batch
     # kernel already shares each decoded block across all queries.)
-    blocks = (spark.read.parquet(h.postings_path)
-              .where(F.col("term").isin(present)))
-    cand = (blocks.groupBy("shard_id")
-            .applyInPandas(
-                _score_shard_kernel(norm_queries, idfs, h.avgdl,
-                                    cfg.k1, cfg.b,
-                                    tombstones_path=h.tombstones_path,
-                                    doc_bits=cfg.doc_bits),
-                schema="query_id long, doc_id long, score double"))
+    kernel = _score_shard_kernel(norm_queries, idfs, h.avgdl,
+                                 cfg.k1, cfg.b,
+                                 tombstones_path=h.tombstones_path,
+                                 doc_bits=cfg.doc_bits)
+    cand_schema = "query_id long, doc_id long, score double"
+    cand = None
+    if DIRECT_FETCH and h.shard_ids:
+        try:
+            import pyarrow.dataset as pads
+
+            from ..fsutil import local_path
+            # Driver-side probe: fails fast when pyarrow's filesystem/
+            # credential stack can't see the postings (kerberized HDFS,
+            # cluster-side-only S3A creds) — degrade to the legacy Spark
+            # scan, which reads through Spark's Hadoop conf.
+            pads.dataset(local_path(h.postings_path), format="parquet",
+                         partitioning="hive")
+        except Exception:
+            cand = None
+        else:
+            phrase_terms = sorted({t for q in norm_queries
+                                   if q["mode"] == "PHRASE"
+                                   for t in q["terms"] if t in dfs})
+            sdf = spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                    [(int(s),) for s in h.shard_ids], len(h.shard_ids)),
+                "shard_id int")
+            cand = sdf.mapInPandas(
+                _direct_fetch_gen(h.postings_path, present, phrase_terms,
+                                  kernel),
+                schema=cand_schema)
+    if cand is None:
+        blocks = (spark.read.parquet(h.postings_path)
+                  .where(F.col("term").isin(present)))
+        cand = (blocks.groupBy("shard_id")
+                .applyInPandas(kernel, schema=cand_schema))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ks = {q["query_id"]: q["k"] for q in norm_queries}
