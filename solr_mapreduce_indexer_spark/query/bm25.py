@@ -82,7 +82,9 @@ def load_index(index_dir: str) -> IndexHandle:
     # The served level's shard ids come from the manifest, NOT cfg.shards:
     # a merge-less or streaming-generation index serves straight from a
     # micro-sharded level.
-    sids = tuple(sorted(int(s["shard_id"]) for s in final.get("segments", [])))
+    # set(): a duplicate shard id would double-read (and double-score) that
+    # shard under the direct-fetch plan
+    sids = tuple(sorted({int(s["shard_id"]) for s in final.get("segments", [])}))
     if not sids and "n_shards" in final:
         sids = tuple(range(int(final["n_shards"])))
     return IndexHandle(
