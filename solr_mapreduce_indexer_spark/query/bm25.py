@@ -148,20 +148,24 @@ def _direct_fetch_gen(postings_path: str, present: list[str],
         import pyarrow.dataset as pads
 
         from ..fsutil import local_path
-        ds = pads.dataset(local_path(postings_path), format="parquet",
-                          partitioning="hive")
-        want_pos = bool(phrase_terms) and "pos_bytes" in ds.schema.names
+        root = local_path(postings_path).rstrip("/")
         for pdf in pdfs:
             for sid in pdf["shard_id"].tolist():
+                # Each task opens ONLY its own partition directory: a
+                # root-level hive discovery would list all S shard dirs in
+                # every one of the S tasks — O(S²) storage listings per
+                # batch at 1000 shards. (Dir name is Spark's partitionBy
+                # layout; shard ids come from the manifest, so the dir
+                # exists for every id handed to us.)
+                ds = pads.dataset(f"{root}/shard_id={int(sid)}",
+                                  format="parquet")
                 blocks = ds.to_table(
                     columns=cols,
-                    filter=((pads.field("shard_id") == int(sid))
-                            & pads.field("term").isin(present))).to_pandas()
-                if want_pos:
+                    filter=pads.field("term").isin(present)).to_pandas()
+                if phrase_terms and "pos_bytes" in ds.schema.names:
                     pos = ds.to_table(
                         columns=["term", "first_doc", "pos_bytes"],
-                        filter=((pads.field("shard_id") == int(sid))
-                                & pads.field("term").isin(phrase_terms))
+                        filter=pads.field("term").isin(phrase_terms)
                         ).to_pandas()
                     blocks = blocks.merge(pos, on=["term", "first_doc"],
                                           how="left")
