@@ -269,25 +269,42 @@ def main() -> None:
         spark.stop()
 
     lo, hi = sorted(args.levels)
+    lo_c, hi_c = ((lo * args.exec_cores, hi * args.exec_cores)
+                  if args.mode == "executors" else (lo, hi))
+
+    # The 16M attempt-3 postmortem: a single pre-run ceiling was 2.5h stale
+    # by the time the second level executed, and the box degraded in
+    # between. Probe the ceiling around EVERY level so a finished pair
+    # carries its own window-stability evidence (each probe is ~1 min; the
+    # pair is only as valid as max-minus-min of these probes is small).
+    probes: dict[str, float] = {}
+
+    def probe(tag: str) -> dict:
+        cl = cpu_ceiling(lo_c, hi_c)
+        probes[tag] = cl["cpu_scaling_efficiency"]
+        print("CEILING " + json.dumps(cl | {"at": tag}), flush=True)
+        return cl
+
+    ceiling = probe("start")
     if args.mode == "executors":
         c = args.exec_cores
-        ceiling = cpu_ceiling(lo * c, hi * c)
-        print("CEILING " + json.dumps(ceiling), flush=True)
         r_lo = run_level(lo * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{lo},{c},8192]",
                          reps=args.reps, timeout=args.level_timeout)
+        probe(f"after_level_{lo}")
         r_hi = run_level(hi * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{hi},{c},8192]",
                          reps=args.reps, timeout=args.level_timeout)
+        probe(f"after_level_{hi}")
     else:
-        ceiling = cpu_ceiling(lo, hi)
-        print("CEILING " + json.dumps(ceiling), flush=True)
         r_lo = run_level(lo, src, work, args.shards, args.reducers,
                          args.fanout, reps=args.reps,
                          timeout=args.level_timeout)
+        probe(f"after_level_{lo}")
         r_hi = run_level(hi, src, work, args.shards, args.reducers,
                          args.fanout, reps=args.reps,
                          timeout=args.level_timeout)
+        probe(f"after_level_{hi}")
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
     eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
@@ -299,6 +316,9 @@ def main() -> None:
         "n_turns": r_lo["n_turns"],
         "levels": {str(lo): r_lo, str(hi): r_hi},
         "hardware_cpu_ceiling": ceiling,
+        "ceiling_probes": probes,
+        "window_stable": round(max(probes.values())
+                               - min(probes.values()), 3) <= 0.15,
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
         "build_efficiency_vs_cpu_ceiling": round(eff_build / ceil, 3),
