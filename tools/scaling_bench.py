@@ -319,6 +319,13 @@ def main() -> None:
         "ceiling_probes": probes,
         "window_stable": round(max(probes.values())
                                - min(probes.values()), 3) <= 0.15,
+        # a phase that got SLOWER with more executors is physically
+        # impossible on stable hardware — the tell that the host degraded
+        # between levels (8M and 16M attempt postmortems, round 5)
+        "phase_inversions": sorted(
+            p for p in r_lo.get("phases", {})
+            if r_hi.get("phases", {}).get(p, 0.0)
+            > r_lo["phases"][p] * 1.05),
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
         "build_efficiency_vs_cpu_ceiling": round(eff_build / ceil, 3),
