@@ -129,8 +129,15 @@ def main() -> None:
 
     lo, hi = sorted(args.exec_levels)
     c = args.exec_cores
-    ceiling = cpu_ceiling(lo * c, hi * c)
-    print("CEILING " + json.dumps(ceiling), flush=True)
+    probes = {}
+
+    def probe(tag: str) -> dict:
+        cl = cpu_ceiling(lo * c, hi * c)
+        probes[tag] = cl["cpu_scaling_efficiency"]
+        print("CEILING " + json.dumps(cl | {"at": tag}), flush=True)
+        return cl
+
+    ceiling = probe("start")
     levels = {}
     for n_exec in (lo, hi):
         out = _run_child(_QUERY_CHILD.format(
@@ -145,6 +152,7 @@ def main() -> None:
                 break
         else:
             raise RuntimeError(f"no RESULT from level {n_exec}:\n{out[-2000:]}")
+        probe(f"after_level_{n_exec}")
 
     ratio = hi / lo
     eff = (levels[str(hi)]["bm25_qps"] / levels[str(lo)]["bm25_qps"]) / ratio
@@ -156,6 +164,9 @@ def main() -> None:
         "n_queries": args.n_queries,
         "levels": levels,
         "hardware_cpu_ceiling": ceiling,
+        "ceiling_probes": probes,
+        "window_stable": round(max(probes.values())
+                               - min(probes.values()), 3) <= 0.15,
         "query_scaling_efficiency": round(eff, 3),
         "query_efficiency_vs_cpu_ceiling": round(eff / ceil, 3),
     }
