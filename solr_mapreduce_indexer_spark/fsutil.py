@@ -88,9 +88,15 @@ def delete(path: str, *, ignore_missing: bool = False) -> None:
             raise FileNotFoundError(path)
         return
     fs, P, _ = _hadoop_fs(path)
-    if not fs.delete(P(path), True) and not ignore_missing \
-            and not fs.exists(P(path)):
-        raise FileNotFoundError(path)
+    if not fs.delete(P(path), True):
+        # delete() returning false with the path still present is a REAL
+        # failure (permissions, lease) — raising regardless of ignore_missing
+        # keeps callers from proceeding as if the path were gone;
+        # ignore_missing only covers the path-already-absent case.
+        if fs.exists(P(path)):
+            raise OSError(f"delete failed but path still exists: {path}")
+        if not ignore_missing:
+            raise FileNotFoundError(path)
 
 
 def rename(src: str, dst: str) -> None:
@@ -141,7 +147,12 @@ def read_text(path: str) -> str:
 
 def write_text_atomic(path: str, data: str) -> None:
     """Commit a small text file: local = tmp + os.replace (atomic); remote =
-    create(overwrite=True) — visible-at-close on HDFS, atomic PUT on S3."""
+    write a sibling tmp file, then FileContext.rename(OVERWRITE) — atomic on
+    HDFS (a plain create(overwrite=True) leaves the file visible zero-length
+    from create until close, so a concurrent reader could resolve an
+    empty/partial pointer). Filesystems without FileContext support fall back
+    to delete+rename (small window; readers treat an absent/empty pointer as
+    transient)."""
     if not has_scheme(path):
         d = os.path.dirname(path) or "."
         os.makedirs(d, exist_ok=True)
@@ -150,12 +161,28 @@ def write_text_atomic(path: str, data: str) -> None:
             f.write(data)
         os.replace(tmp, path)
         return
-    fs, P, _ = _hadoop_fs(path)
-    stream = fs.create(P(path), True)
+    fs, P, conf = _hadoop_fs(path)
+    tmp = path + ".tmp"
+    stream = fs.create(P(tmp), True)
     try:
         stream.write(bytearray(data.encode("utf-8")))
     finally:
         stream.close()
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        gw = spark.sparkContext._gateway
+        jvm = gw.jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            P(path).toUri(), conf)
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(P(tmp), P(path), opts)
+    except Exception:  # noqa: BLE001 — e.g. S3A has no FileContext impl
+        fs.delete(P(path), False)
+        if not fs.rename(P(tmp), P(path)):
+            raise OSError(f"rename failed: {tmp} -> {path}")
 
 
 def listdir(path: str) -> list[str]:
@@ -187,11 +214,18 @@ def copy_dir(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
         shutil.copytree(src, dst, copy_function=_link_or_copy)
         return
-    fs_src, P, conf = _hadoop_fs(src if has_scheme(src) else dst)
-    fs_dst = P(dst).getFileSystem(conf) if has_scheme(dst) else fs_src
+    # Mixed local/remote: qualify the scheme-less side as a file: URI and
+    # resolve EACH path's FileSystem from its own URI — resolving both from
+    # one side makes FileUtil.copy look up the local path on the remote FS
+    # (reference resolves per-path too, TreeMergeOutputFormat.java:205).
+    src_uri = src if has_scheme(src) else "file:" + os.path.abspath(src)
+    dst_uri = dst if has_scheme(dst) else "file:" + os.path.abspath(dst)
+    _, P, conf = _hadoop_fs(src_uri)
+    fs_src = P(src_uri).getFileSystem(conf)
+    fs_dst = P(dst_uri).getFileSystem(conf)
     from pyspark.sql import SparkSession
     jvm = SparkSession.getActiveSession()._jvm
     ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
-        fs_src, P(src), fs_dst, P(dst), False, False, conf)
+        fs_src, P(src_uri), fs_dst, P(dst_uri), False, False, conf)
     if not ok:
         raise OSError(f"copy failed: {src} -> {dst}")

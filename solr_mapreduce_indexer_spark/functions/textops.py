@@ -37,7 +37,11 @@ def quality_features(df: DataFrame, text_col: str = "text",
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
     stop = F.array(*[F.lit(s) for s in EN_STOP])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    # Σ token lengths == length of the zero-separator join: array_join is a
+    # regular codegen'd collection function, while the previous
+    # F.aggregate(toks, 0, acc+length) higher-order fold ran one interpreted
+    # expression eval per token (HOFs don't codegen). Integer-identical.
+    tok_chars = F.length(F.array_join(toks, ""))
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),

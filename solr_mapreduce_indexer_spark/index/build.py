@@ -53,30 +53,65 @@ POSTINGS_SCHEMA = ("shard_id int, term string, first_doc long, last_doc long, "
 POSTINGS_COLS = [f.split()[0] for f in POSTINGS_SCHEMA.split(", ")]
 
 
-def prepare_docs(df: DataFrame, cfg: IndexConfig, partitions: int) -> DataFrame:
+def prepare_docs(df: DataFrame, cfg: IndexConfig, partitions: int,
+                 micro_base: int = 0) -> DataFrame:
     """dedup → route → assign two-level doc ids.
 
     Output: shard_id, doc_id, conv_id, turn_idx, role, ts, text.
+
+    ONE exchange for the default resolver: shard_id is a pure FUNCTION of the
+    dedup key (doc_key = conv_id#turn_idx), so clustering by shard_id already
+    colocates every key's rows — a fact the optimizer cannot know, so the
+    naive plan paid a second full-row shuffle for the dedup window (guide §8:
+    use problem knowledge the optimizer lacks). retain_most_recent therefore
+    runs INSIDE the shard partitions: sort by (key, ts desc, text desc) and
+    keep each key run's first row via lag() over the same shard clustering —
+    identical winners to the per-key row_number()==1 window. The doc-id
+    window then reuses both the clustering and the sort prefix, so the whole
+    phase is: scan → route UDF → Exchange(shard_id) → sort → dedup-filter →
+    row_number — raw text crosses the wire exactly once (it crossed three
+    exchanges before: dedup by key, doc-id window by shard, postings
+    repartition by shard).
+
+    micro_base shifts the micro-shard namespace (streaming generations:
+    micro = gen*S + shard).
 
     Deliberately does NOT materialize a tokens column: caching/carrying
     array<string> of ~40+ tokens per row is allocation-bound and anti-scales
     (measured slower at 32 cores than 8); the tokenizer is a cheap JVM
     expression, so each consumer derives tokens inline and streams them into
     its own aggregation."""
-    resolver = RESOLVERS[cfg.conflict_resolver]
-    deduped = resolver(df, order_by=cfg.order_by_field) \
-        if cfg.conflict_resolver != "no_change" else df
-
     route = routing_pandas_udf(cfg.shards, partitions)
-    keyed = (deduped
+    keyed = (df
              .withColumn("doc_key", F.concat_ws("#", F.col("conv_id"),
                                                 F.col("turn_idx").cast("string")))
              .withColumn("shard_id", route(F.col("doc_key"))))
 
+    if cfg.conflict_resolver in ("retain_most_recent", "no_change"):
+        clustered = keyed.repartition(partitions, "shard_id")
+        if cfg.conflict_resolver == "retain_most_recent":
+            ws = Window.partitionBy("shard_id").orderBy(
+                F.col("conv_id"), F.col("turn_idx"),
+                F.col(cfg.order_by_field).desc_nulls_last(),
+                # deterministic tie-break for identical ts: lexicographically
+                # max text (same ordering as operators.dedup.retain_most_recent)
+                F.col("text").desc_nulls_last())
+            key = F.struct(F.col("conv_id"), F.col("turn_idx"))
+            prev = F.lag(key).over(ws)
+            clustered = (clustered
+                         .withColumn("_first",
+                                     prev.isNull() | ~prev.eqNullSafe(key))
+                         .where(F.col("_first")).drop("_first"))
+    else:
+        resolver = RESOLVERS[cfg.conflict_resolver]
+        clustered = resolver(keyed, order_by=cfg.order_by_field) \
+            .repartition(partitions, "shard_id")
+
     w = Window.partitionBy("shard_id").orderBy("conv_id", "turn_idx")
-    return (keyed
+    micro = F.col("shard_id").cast("long") + F.lit(int(micro_base))
+    return (clustered
             .withColumn("doc_id",
-                        F.col("shard_id").cast("long") * F.lit(1 << cfg.doc_bits)
+                        micro * F.lit(1 << cfg.doc_bits)
                         + F.row_number().over(w).cast("long") - 1)
             .select("shard_id", "doc_id", "conv_id", "turn_idx", "role", "ts",
                     "text"))
@@ -219,16 +254,20 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
 
 
 def build_postings(docs: DataFrame, cfg: IndexConfig, avgdl: float,
-                   partitions: int) -> DataFrame:
+                   partitions: int, pre_partitioned: bool = False) -> DataFrame:
     """docs (shard_id, doc_id, …, text) → compressed posting-block rows.
 
-    One shuffle: co-locate each micro-shard's rows, sort by doc id, ship raw
-    text over Arrow, and build each shard's index in a single fused kernel
-    (tokenize → tf → posting lists → blocks; see _index_shard_mapper)."""
-    src = (docs
-           .repartition(partitions, "shard_id")
-           .sortWithinPartitions("shard_id", "doc_id")
-           .select("shard_id", "doc_id", "text"))
+    Co-locate each micro-shard's rows, sort by doc id, ship raw text over
+    Arrow, and build each shard's index in a single fused kernel (tokenize →
+    tf → posting lists → blocks; see _index_shard_mapper).
+
+    pre_partitioned=True skips the shuffle: the caller guarantees docs are
+    already hash-clustered by shard_id (prepare_docs output is — its doc-id
+    window established exactly that clustering, so repartitioning again here
+    re-shuffled every text byte for an identical distribution)."""
+    src = docs if pre_partitioned else docs.repartition(partitions, "shard_id")
+    src = (src.select("shard_id", "doc_id", "text")
+              .sortWithinPartitions("shard_id", "doc_id"))
     return src.mapInPandas(_index_shard_mapper(cfg, avgdl),
                            schema=POSTINGS_SCHEMA)
 
@@ -329,17 +368,18 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
         t0 = time.time()
         # corpus stats ride the write job as Observation metrics instead of
         # a second full docmap scan: one fewer Spark job of
-        # corpus-size-independent scheduling latency per build. The observe
-        # sits BELOW the write but ABOVE (downstream of) the repartition
-        # exchange, so the CollectMetrics node runs in the RESULT stage —
-        # Spark's exactly-once accumulator guarantee covers result-stage
-        # tasks only; placed in the shuffle-map stage, a fetch-failure retry
-        # or speculative task would double-count n_docs/avgdl and silently
-        # skew BM25 idf on a real cluster. Hash repartition has no sampling
-        # pre-pass, so rows still flow through the metrics node exactly once.
+        # corpus-size-independent scheduling latency per build. prepare_docs
+        # already hash-clustered rows by shard_id (its doc-id window), so no
+        # repartition is needed before the partitionBy write — the old
+        # explicit repartition re-shuffled the docmap rows for an identical
+        # distribution. The CollectMetrics node therefore runs in the RESULT
+        # stage (downstream of prepare_docs' exchange — on re-runs from the
+        # populated cache the whole job IS one result stage), where Spark's
+        # exactly-once accumulator guarantee holds; in a shuffle-map stage, a
+        # fetch-failure retry or speculative task would double-count
+        # n_docs/avgdl and silently skew BM25 idf on a real cluster.
         obs = Observation()
         (docmap_cols(get_docs(), cfg)
-          .repartition(partitions, "shard_id")
           .observe(obs, F.count(F.lit(1)).alias("n_docs"),
                    F.avg("doc_len").alias("avgdl"),
                    F.sum("doc_len").alias("total_tokens"))
@@ -359,7 +399,8 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     # --- phase: level-0 posting segments ------------------------------------
     if not (resume and mf.read_checkpoint(index_dir, "level_0")):
         t0 = time.time()
-        postings = build_postings(get_docs(), cfg, stats["avgdl"], partitions)
+        postings = build_postings(get_docs(), cfg, stats["avgdl"], partitions,
+                                  pre_partitioned=True)
         # level 0 is rewritten by the merge tree when one exists — write it
         # with the cheap codec then; only a merge-less build serves from it
         l0_codec = (cfg.intermediate_compression if n_iters > 0

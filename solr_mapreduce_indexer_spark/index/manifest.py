@@ -195,7 +195,12 @@ def _publish_remote(index_dir: str, serving_dir: str,
     visible-at-close on HDFS, atomic PUT on S3. Readers resolve via
     resolve_current(). Same max+1 naming, same content idempotence, same
     inprogress-then-rename snapshot commit as the local path — but rename
-    uses Hadoop FileSystem (atomic dir rename on HDFS)."""
+    uses Hadoop FileSystem (atomic dir rename on HDFS).
+
+    Concurrency contract: SINGLE PUBLISHER. The snapshot-dir collision is
+    detected (FileExistsError below), but two concurrent publishers could
+    still interleave the CURRENT pointer write last-writer-wins — run
+    publish from one coordinator, as the reference's go-live does."""
     snaps = serving_dir.rstrip("/") + "/snapshots"
     fsutil.mkdirs(snaps)
     current = serving_dir.rstrip("/") + "/CURRENT"
@@ -238,6 +243,12 @@ def resolve_current(serving_dir: str) -> str:
             return os.path.realpath(cur)
     pointer = serving_dir.rstrip("/") + "/CURRENT"
     if fsutil.exists(pointer):
-        return (serving_dir.rstrip("/") + "/snapshots/"
-                + fsutil.read_text(pointer).strip())
+        name = fsutil.read_text(pointer).strip()
+        if not name:
+            # mid-commit on a filesystem whose pointer swap isn't atomic:
+            # fail with a clear retryable error, never resolve 'snapshots/'
+            raise RuntimeError(
+                f"CURRENT pointer at {pointer} is empty (commit in flight "
+                "or torn); retry")
+        return serving_dir.rstrip("/") + "/snapshots/" + name
     raise FileNotFoundError(f"no live snapshot under {serving_dir}")

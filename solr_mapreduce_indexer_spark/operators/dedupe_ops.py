@@ -61,6 +61,74 @@ def _shingle_hash_expr(toks, shingle_w: int, hash_family: str):
     )).otherwise(F.array(h(F.array_join(toks, " "))))
 
 
+def _shingle_xxh64_flat(tok_arrays, shingle_w: int):
+    """Vectorized twin of the JVM `_shingle_hash_expr(..., 'xxhash64')`:
+    per-doc w-token shingle hashes, flattened in doc order.
+
+    Returns (flat int64 hashes, per-doc shingle counts). Bit-identical to
+    `xxhash64(array_join(slice(toks, i, w), ' '))` for every shingle —
+    including the JVM null-propagation edge (null token array → the hash
+    expression sees a null child and returns the seed, 42). Each doc's
+    tokens are joined ONCE; shingle strings are byte SPANS of the joined
+    buffer (offsets from token byte lengths), so no per-shingle Python
+    string is ever built (the JVM expression allocated a slice array + a
+    joined string per position, interpreted per element — measured as the
+    dominant MinHash cost)."""
+    from ..functions.xxh64 import SPARK_SEED, xxh64_spans
+    n_docs = len(tok_arrays)
+    joined: list[bytes] = []
+    tok_lens: list[np.ndarray] = []
+    null_doc = np.zeros(n_docs, dtype=bool)
+    for i in range(n_docs):
+        t = tok_arrays[i]
+        if t is None:
+            null_doc[i] = True
+            joined.append(b"")
+            tok_lens.append(np.empty(0, np.int64))
+            continue
+        toks = list(t)
+        s = " ".join(toks)
+        enc = s.encode("utf-8")
+        joined.append(enc)
+        if len(enc) == len(s):  # pure ASCII: byte length == char length
+            tok_lens.append(np.fromiter(map(len, toks), np.int64, len(toks)))
+        else:
+            tok_lens.append(np.fromiter(
+                (len(x.encode("utf-8")) for x in toks), np.int64, len(toks)))
+    doc_nt = np.fromiter(map(len, tok_lens), np.int64, n_docs)
+    # shingle counts: n-w+1 full shingles, else ONE whole-doc shingle
+    n_sh = np.where(doc_nt >= shingle_w, doc_nt - shingle_w + 1, 1)
+    doc_lens = np.fromiter(map(len, joined), np.int64, n_docs)
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_lens[:-1], out=doc_starts[1:])
+    buf = np.frombuffer(b"".join(joined), dtype=np.uint8)
+
+    total = int(n_sh.sum())
+    starts = np.empty(total, dtype=np.int64)
+    lengths = np.empty(total, dtype=np.int64)
+    out_pos = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=out_pos[1:])
+    full = np.flatnonzero(doc_nt >= shingle_w)
+    short = np.flatnonzero(doc_nt < shingle_w)
+    # full docs: token start offsets via per-doc cumsum of (len + 1 sep)
+    for i in full:
+        tl = tok_lens[i]
+        ts = np.zeros(len(tl), dtype=np.int64)
+        np.cumsum(tl[:-1] + 1, out=ts[1:])
+        k = int(n_sh[i])
+        st = ts[:k] + doc_starts[i]
+        en = ts[shingle_w - 1:] + tl[shingle_w - 1:] + doc_starts[i]
+        starts[out_pos[i]:out_pos[i + 1]] = st
+        lengths[out_pos[i]:out_pos[i + 1]] = en - st
+    if len(short):
+        starts[out_pos[short]] = doc_starts[short]
+        lengths[out_pos[short]] = doc_lens[short]
+    flat = xxh64_spans(buf, starts, lengths)
+    if null_doc.any():
+        flat[out_pos[np.flatnonzero(null_doc)]] = SPARK_SEED
+    return flat, n_sh
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", shingle_w: int = 3,
                        num_perm: int = 64, seed: int = 42,
@@ -68,13 +136,37 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        cfg: IndexConfig | None = None) -> DataFrame:
     """MinHash signature per doc over w-token shingles.
 
-    Shingle hashing is JVM-side (xxhash64, or md5-derived for the
-    DuckDB-replayable 'md5' family); the permutation mins are one vectorized
-    pandas UDF over the shingle-hash array ((a*h+b) mod p, min per
-    permutation) — O(shingles × perms) numpy matrix op per batch."""
+    Default ('xxhash64') family: tokens cross to the Python worker once and
+    shingle hashing + permutation mins run in ONE vectorized kernel
+    (_shingle_xxh64_flat + reduceat) — the previous JVM higher-order
+    `transform(sequence, xxhash64(array_join(slice(...))))` evaluated an
+    interpreted expression tree per shingle (HOFs don't codegen) and
+    dominated the whole LSH pipeline. Hash values are bit-identical
+    (functions.xxh64 is an exact Spark-xxhash64 twin). The 'md5' family
+    keeps JVM-side hashing — it exists for DuckDB oracle replay."""
     cfg = cfg or IndexConfig()
     a, b = _minhash_params(num_perm, seed, hash_family)
     toks = tokenize_col(text_col, cfg)
+
+    if hash_family != "md5":
+        @F.pandas_udf("array<long>")
+        def minhash_tok(tok_arrays: pd.Series) -> pd.Series:
+            flat, n_sh = _shingle_xxh64_flat(tok_arrays.to_numpy(), shingle_w)
+            starts = np.zeros(len(n_sh), dtype=np.int64)
+            np.cumsum(n_sh[:-1], out=starts[1:])
+            sigs = np.zeros((len(n_sh), num_perm), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                hv = flat.astype(np.uint64) % np.uint64(MERSENNE)
+                au = a.astype(np.uint64)
+                bu = b.astype(np.uint64)
+                for q in range(num_perm):
+                    mq = (au[q] * hv + bu[q]) % np.uint64(MERSENNE)
+                    sigs[:, q] = np.minimum.reduceat(mq, starts) \
+                        .astype(np.int64)
+            return pd.Series(list(sigs))
+
+        return df.select(F.col(id_col), minhash_tok(toks).alias("sig"))
+
     shingles = _shingle_hash_expr(toks, shingle_w, hash_family)
 
     @F.pandas_udf("array<long>")
@@ -91,20 +183,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                                    for i in nz])
             starts = np.zeros(len(nz), dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=starts[1:])
-            if hash_family == "md5":
-                # exact int64 math (< 2^59); identical in DuckDB BIGINT
-                for q in range(num_perm):
-                    mq = (a[q] * flat + b[q]) % MERSENNE31
-                    sigs[nz, q] = np.minimum.reduceat(mq, starts)
-            else:
-                with np.errstate(over="ignore"):
-                    hv = (flat.astype(np.uint64) % np.uint64(MERSENNE))
-                    au = a.astype(np.uint64)
-                    bu = b.astype(np.uint64)
-                    for q in range(num_perm):
-                        mq = (au[q] * hv + bu[q]) % np.uint64(MERSENNE)
-                        sigs[nz, q] = np.minimum.reduceat(
-                            mq, starts).astype(np.int64)
+            # exact int64 math (< 2^59); identical in DuckDB BIGINT
+            for q in range(num_perm):
+                mq = (a[q] * flat + b[q]) % MERSENNE31
+                sigs[nz, q] = np.minimum.reduceat(mq, starts)
         return pd.Series(list(sigs))
 
     return df.select(F.col(id_col), minhash(shingles).alias("sig"))

@@ -50,7 +50,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
@@ -105,10 +105,27 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[str, int]:
-    rows = (spark.read.parquet(h.term_stats_path)
-            .where(F.col("term").isin(terms))
-            .select("term", "df").collect())
-    return {r["term"]: int(r["df"]) for r in rows}
+    """df per term — a coordinator POINT-READ, not a Spark job. term_stats is
+    written range-partitioned + sorted by term, so pyarrow's `term IN` filter
+    prunes to the overlapping row groups; the read is bounded by |terms|, not
+    corpus size, and skips a whole Spark job's scheduling latency per batch.
+    Falls back to the Spark read when pyarrow's filesystem stack can't open
+    the path (same credential split as the docmap point-fetch; README
+    "Storage access")."""
+    try:
+        import pyarrow.dataset as pads
+
+        from ..fsutil import local_path
+        tbl = (pads.dataset(local_path(h.term_stats_path), format="parquet")
+               .to_table(columns=["term", "df"],
+                         filter=pads.field("term").isin(terms)))
+        return {t: int(d) for t, d in
+                zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())}
+    except Exception:
+        rows = (spark.read.parquet(h.term_stats_path)
+                .where(F.col("term").isin(terms))
+                .select("term", "df").collect())
+        return {r["term"]: int(r["df"]) for r in rows}
 
 
 # Decoded-block observability: incremented on every block-cache MISS inside
@@ -603,27 +620,36 @@ def run_queries(spark: SparkSession, h: IndexHandle,
         cand = (blocks.groupBy("shard_id")
                 .applyInPandas(kernel, schema=cand_schema))
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # Land the per-shard candidates driver-side (≤ |shards| × Σ k rows —
+    # tiny by construction: the kernel emits at most k rows per query per
+    # shard) and resolve the global top-k in pandas. The previous plan ran a
+    # row_number window over an Exchange(query_id) — a whole extra Spark
+    # stage + shuffle to rank a few thousand rows; ranking them where they
+    # already land removes the last exchange from the query path (the batch
+    # is now ONE stage end to end). Ordering is identical: (score desc,
+    # doc_id asc) per query, float64 on both sides.
     ks = {q["query_id"]: q["k"] for q in norm_queries}
-    kmap = F.create_map(*[F.lit(x) for kv in ks.items() for x in kv])
-    topk = (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= kmap[F.col("query_id")]))
-
-    # Land the top-k candidate set driver-side (≤ Σ k rows — tiny by
-    # construction), then FETCH the ≤ Σ k docmap rows as coordinator point
-    # lookups (the Solr/ES stored-fields fetch phase): pyarrow.dataset
-    # prunes to the touched micro-shard partitions via the doc-id high bits
-    # (hive dirs) and to overlapping row groups via doc_id min/max stats —
-    # the same pruning works against HDFS/S3 through pyarrow's filesystems.
-    # The previous implementation ran a Spark job that scanned every row of
-    # every hit shard partition and broadcast-joined the top-k set: measured
-    # per-batch cost grew from ~9s (4M docs) to ~44s (16M docs) — corpus-
-    # proportional, fatal at 10^12 docs. The point-fetch reads 2.5k rows of
-    # a 16M-doc docmap in 0.3-0.5s and is corpus-size-independent.
-    rows = topk.collect()
-    if not rows:
+    cpdf = cand.toPandas()
+    if not len(cpdf):
         return empty
-    ids = sorted({int(r["doc_id"]) for r in rows})
+    cpdf = cpdf.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+    cpdf["rank"] = cpdf.groupby("query_id").cumcount() + 1
+    cpdf = cpdf[cpdf["rank"] <= cpdf["query_id"].map(ks)]
+    if not len(cpdf):
+        return empty
+
+    # FETCH the ≤ Σ k docmap rows as coordinator point lookups (the Solr/ES
+    # stored-fields fetch phase): pyarrow.dataset prunes to the touched
+    # micro-shard partitions via the doc-id high bits (hive dirs) and to
+    # overlapping row groups via doc_id min/max stats — the same pruning
+    # works against HDFS/S3 through pyarrow's filesystems. An earlier
+    # implementation ran a Spark job that scanned every row of every hit
+    # shard partition and broadcast-joined the top-k set: measured per-batch
+    # cost grew from ~9s (4M docs) to ~44s (16M docs) — corpus-proportional,
+    # fatal at 10^12 docs. The point-fetch reads 2.5k rows of a 16M-doc
+    # docmap in 0.3-0.5s and is corpus-size-independent.
+    ids = sorted(set(cpdf["doc_id"].astype(int).tolist()))
     hit_shards = sorted({i >> cfg.doc_bits for i in ids})
     try:
         import pyarrow.dataset as pads
@@ -649,10 +675,10 @@ def run_queries(spark: SparkSession, h: IndexHandle,
               .select("doc_id", "conv_id", "turn_idx")
               .toPandas())
     tk = pd.DataFrame({
-        "query_id": np.array([r["query_id"] for r in rows], np.int64),
-        "rank": np.array([r["rank"] for r in rows], np.int32),
-        "doc_id": np.array([r["doc_id"] for r in rows], np.int64),
-        "score": np.array([r["score"] for r in rows], np.float64)})
+        "query_id": cpdf["query_id"].to_numpy(np.int64),
+        "rank": cpdf["rank"].to_numpy(np.int32),
+        "doc_id": cpdf["doc_id"].to_numpy(np.int64),
+        "score": cpdf["score"].to_numpy(np.float64)})
     out = tk.merge(dm, on="doc_id", how="left").sort_values(
         ["query_id", "rank"], kind="stable")
     if out["conv_id"].isna().any():

@@ -41,15 +41,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexConfig
-from ..functions.routing import routing_pandas_udf
 from .. import fsutil
 from ..index import manifest as mf
 from ..index.build import build_postings, docmap_cols
-from ..operators.dedup import RESOLVERS
 
 
 def _gen_phase(gen: int) -> str:
@@ -57,24 +55,12 @@ def _gen_phase(gen: int) -> str:
 
 
 def _prepare_gen_docs(df: DataFrame, cfg: IndexConfig, gen: int) -> DataFrame:
-    """Like build.prepare_docs but doc ids live in generation gen's
-    micro-shard namespace (micro = gen*S + shard)."""
-    resolver = RESOLVERS[cfg.conflict_resolver]
-    deduped = resolver(df, order_by=cfg.order_by_field) \
-        if cfg.conflict_resolver != "no_change" else df
-    route = routing_pandas_udf(cfg.shards)  # root-shard routing
-    keyed = (deduped
-             .withColumn("doc_key", F.concat_ws("#", F.col("conv_id"),
-                                                F.col("turn_idx").cast("string")))
-             .withColumn("shard_id", route(F.col("doc_key"))))
-    w = Window.partitionBy("shard_id").orderBy("conv_id", "turn_idx")
-    micro = F.col("shard_id").cast("long") + F.lit(gen * cfg.shards)
-    return (keyed
-            .withColumn("doc_id",
-                        micro * F.lit(1 << cfg.doc_bits)
-                        + F.row_number().over(w).cast("long") - 1)
-            .select("shard_id", "doc_id", "conv_id", "turn_idx", "role", "ts",
-                    "text"))
+    """build.prepare_docs with doc ids in generation gen's micro-shard
+    namespace (micro = gen*S + shard). Root-shard routing: partitions == S,
+    which routing treats as root-shard assignment (route_keys). Shares the
+    fused single-exchange dedup+route+doc-id plan."""
+    from ..index.build import prepare_docs
+    return prepare_docs(df, cfg, cfg.shards, micro_base=gen * cfg.shards)
 
 
 def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
@@ -94,7 +80,9 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     seg_path = os.path.join(index_dir, "segments", f"gen_{gen}")
 
     docs = _prepare_gen_docs(df, cfg, gen).persist()
-    (docmap_cols(docs, cfg).repartition(cfg.shards, "shard_id")
+    # prepare_docs output is already hash-clustered by shard_id — write
+    # directly, no re-shuffle (same layout, one exchange fewer)
+    (docmap_cols(docs, cfg)
          .write.mode("overwrite").option("compression", cfg.compression)
          .partitionBy("shard_id").parquet(docmap_path))
     agg = (spark.read.parquet(docmap_path)
@@ -110,7 +98,8 @@ def append_batch(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
 
     avgdl_batch = total_tokens / n_docs  # encoding-time bound only; finalize
     # recomputes bounds from (max_tf, min_dl) with the global avgdl.
-    postings = build_postings(docs, cfg, avgdl_batch, cfg.shards)
+    postings = build_postings(docs, cfg, avgdl_batch, cfg.shards,
+                              pre_partitioned=True)
     (postings.sortWithinPartitions("term", "first_doc")
              .write.mode("overwrite")
              .option("compression", cfg.intermediate_compression)

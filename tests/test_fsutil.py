@@ -71,11 +71,20 @@ def test_build_and_query_on_uri_index(spark, uri_index):
 
 
 def test_resume_on_uri_index(spark, transcripts_df, uri_index):
-    import time
+    # Behavioral resume assertion (not wall-clock, which flakes on loaded
+    # CI): a resumed build must skip every phase, leaving checkpoint files
+    # and segment data untouched — verified by mtime comparison.
+    import glob
+    root = fsutil.local_path(uri_index)
+    watched = sorted(glob.glob(os.path.join(root, "checkpoints", "*.json"))
+                     + glob.glob(os.path.join(root, "segments", "**", "*"),
+                                 recursive=True))
+    assert watched
+    before = {p: os.path.getmtime(p) for p in watched}
     cfg = IndexConfig(shards=2, reducers=4, fanout=2)
-    t0 = time.time()
     build_index(spark, transcripts_df, cfg, uri_index, input_path="synthetic")
-    assert time.time() - t0 < 2.0  # checkpoints read back through Hadoop FS
+    after = {p: os.path.getmtime(p) for p in watched}
+    assert after == before
 
 
 def test_compact_final_on_uri_index(spark, uri_index):
