@@ -327,11 +327,19 @@ def write_term_stats(spark: SparkSession, blocks_path: str,
                F.sum("sum_tf").cast("long").alias("cf")))
     n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
     obs = Observation()
-    (ts.repartitionByRange(n_part, "term")
-       .observe(obs, F.count(F.lit(1)).alias("n_terms"))
-       .sortWithinPartitions("term")
-       .write.mode("overwrite").parquet(out_path))
-    return int(obs.get["n_terms"])
+    # persist the aggregate: repartitionByRange SAMPLES its child to pick
+    # range bounds, which would otherwise execute the whole groupBy twice
+    # (once for the sampling job, once for the write) — at scale that is a
+    # second full pass over the index metadata
+    ts = ts.persist()
+    try:
+        (ts.repartitionByRange(n_part, "term")
+           .observe(obs, F.count(F.lit(1)).alias("n_terms"))
+           .sortWithinPartitions("term")
+           .write.mode("overwrite").parquet(out_path))
+        return int(obs.get["n_terms"])
+    finally:
+        ts.unpersist()
 
 
 def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,

@@ -36,7 +36,8 @@ def level_path(index_dir: str, level: int) -> str:
 
 def merge_level(spark: SparkSession, index_dir: str, level: int,
                 fanout: int, n_shards_in: int,
-                compression: str = "zstd") -> tuple[str, int]:
+                compression: str = "zstd",
+                level_bytes: int | None = None) -> tuple[str, int]:
     """One tree-merge iteration: level → level+1, shard_id //= fanout."""
     src = spark.read.parquet(level_path(index_dir, level))
     n_out = -(-n_shards_in // fanout)
@@ -46,6 +47,16 @@ def merge_level(spark: SparkSession, index_dir: str, level: int,
     # files, each internally sorted — readers sort blocks by first_doc anyway
     # and a term's blocks stay within one file.
     n_tasks = max(n_out, 2 * spark.sparkContext.defaultParallelism)
+    if level_bytes and level_bytes > 0:
+        # Scale-adaptive task count: ~8 MB of source payload per merge task
+        # amortizes task scheduling + writer-open overhead and keeps output
+        # files from fragmenting (guide: derive partitioning from input size,
+        # don't pin it to the local core count). Large levels still clamp UP
+        # to 2x parallelism; tiny levels collapse to n_out tasks — few files
+        # per shard dir, which also makes the query side's per-shard dataset
+        # open cheaper (a 12 MB sf0.1 level went 64 tasks -> 4, and 64 -> 4
+        # files per served shard dir).
+        n_tasks = max(n_out, min(n_tasks, -(-level_bytes // (8 << 20))))
     (src.withColumn("shard_id",
                     (F.col("shard_id") / fanout).cast("int"))
         .repartition(n_tasks, "shard_id", "term")
@@ -190,8 +201,10 @@ def merge_to_target(spark: SparkSession, index_dir: str, cfg: IndexConfig,
             # the final level (served forever) gets the dense one
             codec = (cfg.compression if it == n_iters
                      else cfg.intermediate_compression)
+            known = [int(s.get("payload_bytes", -1)) for s in prev_segments]
+            lvl_bytes = sum(b for b in known if b > 0) if known else None
             path, cur = merge_level(spark, index_dir, it - 1, fanout, cur,
-                                    compression=codec)
+                                    compression=codec, level_bytes=lvl_bytes)
             segs = (segment_metrics(spark, path) if it == n_iters
                     else rollup_metrics(prev_segments, fanout))
             mf.write_checkpoint(index_dir, phase, {

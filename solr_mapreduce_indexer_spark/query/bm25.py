@@ -131,7 +131,8 @@ def _lookup_dfs(spark: SparkSession, h: IndexHandle, terms: list[str]) -> dict[s
 # Decoded-block observability: incremented on every block-cache MISS inside
 # the scoring kernel. Executors each have their own copy; tests call the
 # kernel in-process to measure pruning (see tests/test_blockmax.py).
-DECODE_STATS = {"blocks_decoded": 0, "pos_blocks_decoded": 0}
+DECODE_STATS = {"blocks_decoded": 0, "pos_blocks_decoded": 0,
+                "pos_blocks_fetched": 0}
 
 _EPS = 1e-9  # absolute slack on bound-vs-theta comparisons (scores are O(10))
 
@@ -155,9 +156,13 @@ def _direct_fetch_gen(postings_path: str, present: list[str],
 
     Reads ONLY the columns the kernel touches (term, doc range, max_tfnorm,
     payload bytes) — the legacy exchange also carried n/max_tf/sum_tf/min_dl.
-    Position payloads load only for the batch's PHRASE terms; the kernel's
-    lazy phase 2 then decodes just the candidate-overlapping blocks of
-    those."""
+    Position payloads are not read up front at all: the kernel's phase 2
+    calls back into `pos_fetch` for exactly the candidate-overlapping blocks
+    of the batch's PHRASE terms (filter `term == t AND first_doc IN (...)`,
+    row-group pruned by the term-sorted layout) — a Zipf-head phrase term's
+    non-candidate position payloads never leave storage, where previously
+    every block of every phrase term paid the pos_bytes I/O even though the
+    lazy decode then ignored most of it."""
     cols = ["term", "first_doc", "last_doc", "max_tfnorm",
             "doc_bytes", "tf_bytes", "len_bytes"]
 
@@ -179,14 +184,17 @@ def _direct_fetch_gen(postings_path: str, present: list[str],
                 blocks = ds.to_table(
                     columns=cols,
                     filter=pads.field("term").isin(present)).to_pandas()
+                pos_fetch = None
                 if phrase_terms and "pos_bytes" in ds.schema.names:
-                    pos = ds.to_table(
-                        columns=["term", "first_doc", "pos_bytes"],
-                        filter=pads.field("term").isin(phrase_terms)
-                        ).to_pandas()
-                    blocks = blocks.merge(pos, on=["term", "first_doc"],
-                                          how="left")
-                yield score_fn(blocks)
+                    def pos_fetch(term, first_docs, ds=ds):
+                        t = ds.to_table(
+                            columns=["first_doc", "pos_bytes"],
+                            filter=(pads.field("term") == term)
+                            & pads.field("first_doc").isin(
+                                [int(x) for x in first_docs]))
+                        return dict(zip(t["first_doc"].to_pylist(),
+                                        t["pos_bytes"].to_pylist()))
+                yield score_fn(blocks, pos_fetch)
     return gen
 
 
@@ -212,7 +220,11 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
     collision-heavy merges (two overlapping 100 TB generations) stay
     O(shard slice) per task."""
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(pdf: pd.DataFrame, pos_fetch=None) -> pd.DataFrame:
+        # pos_fetch(term, first_docs) → {first_doc: pos_bytes}: supplied by
+        # the direct-fetch plan so position payloads are READ (not just
+        # decoded) only for candidate-overlapping blocks; the legacy
+        # applyInPandas plan passes pos_bytes in pdf instead.
         tune_allocator()
         tombstones = None
         if tombstones_path is not None and len(pdf):
@@ -292,12 +304,23 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
             firsts, _lasts, _ubs, db, tb, lb = term_meta(t)
             pb_col = by_term[t]["pos_bytes"].to_numpy() \
                 if "pos_bytes" in by_term[t].columns else None
+            idx_sorted = np.sort(np.asarray(idx, dtype=np.int64))
+            fetched: dict[int, bytes] = {}
+            if pb_col is None and pos_fetch is not None:
+                # point-read exactly the missing candidate blocks' position
+                # payloads (first_doc is unique per block within a term)
+                need = [int(firsts[int(i)]) for i in idx_sorted
+                        if (t, int(i)) not in pos_cache]
+                if need:
+                    fetched = pos_fetch(t, need)
+                    DECODE_STATS["pos_blocks_fetched"] += len(fetched)
             ds_, ts_, ls_, ps_ = [], [], [], []
-            for i in np.sort(np.asarray(idx, dtype=np.int64)):
+            for i in idx_sorted:
                 i = int(i)
                 got = pos_cache.get((t, i))
                 if got is None:
-                    pb = pb_col[i] if pb_col is not None else None
+                    pb = pb_col[i] if pb_col is not None \
+                        else fetched.get(int(firsts[i]))
                     if pb is None or len(pb) == 0:
                         raise ValueError(
                             "PHRASE queries require an index built with "
@@ -402,7 +425,7 @@ def _score_shard_kernel(queries: list[dict], idfs: dict[str, float],
                 if len(terms) > PAD:
                     raise ValueError(f"phrase longer than {PAD} terms "
                                      "is unsupported")
-                if "pos_bytes" not in pdf.columns:
+                if "pos_bytes" not in pdf.columns and pos_fetch is None:
                     raise ValueError(
                         "PHRASE queries require an index built with "
                         "positions=True (IndexConfig.positions)")
@@ -617,8 +640,15 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     if cand is None:
         blocks = (spark.read.parquet(h.postings_path)
                   .where(F.col("term").isin(present)))
+
+        # single-arg wrapper: applyInPandas dispatches on parameter count,
+        # and the kernel's optional pos_fetch arg would make it look like
+        # the (key, pdf) form; the legacy plan ships pos_bytes in the pdf
+        def legacy_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel(pdf)
+
         cand = (blocks.groupBy("shard_id")
-                .applyInPandas(kernel, schema=cand_schema))
+                .applyInPandas(legacy_kernel, schema=cand_schema))
 
     # Land the per-shard candidates driver-side (≤ |shards| × Σ k rows —
     # tiny by construction: the kernel emits at most k rows per query per

@@ -241,6 +241,42 @@ def test_phrase_prunes_hot_term_blocks(zipf_positional):
         assert got[d] == pytest.approx(want[d], rel=1e-12)
 
 
+def test_phrase_position_payload_io_pruned(zipf_positional):
+    """Direct-plan shape: position payloads are READ (pos_fetch point-read),
+    not shipped up front — and only for candidate-overlapping blocks. The
+    hot term's non-candidate pos_bytes must never be requested from
+    storage, and results must equal the column-shipped path exactly."""
+    from solr_mapreduce_indexer_spark.query import bm25 as Q
+    docs, pdf, idfs, doc_lens, avgdl = zipf_positional
+    queries = [{"query_id": 0, "terms": ["rare", "hot"], "mode": "PHRASE",
+                "k": 100}]
+
+    # reference: legacy path with the pos_bytes column present
+    ref = Q._score_shard_kernel(queries, idfs, avgdl, 1.2, 0.75)(pdf)
+
+    # direct-plan simulation: no pos_bytes column; a counting fetcher serves
+    # point-reads from the same table
+    requested: dict[str, set] = {}
+
+    def pos_fetch(term, first_docs):
+        requested.setdefault(term, set()).update(int(x) for x in first_docs)
+        g = pdf[(pdf["term"] == term)
+                & pdf["first_doc"].isin(list(first_docs))]
+        return dict(zip(g["first_doc"].astype(int), g["pos_bytes"]))
+
+    Q.DECODE_STATS["pos_blocks_fetched"] = 0
+    got = Q._score_shard_kernel(queries, idfs, avgdl, 1.2, 0.75)(
+        pdf.drop(columns=["pos_bytes"]), pos_fetch)
+    assert dict(zip(got.doc_id, got.score)) == dict(zip(ref.doc_id, ref.score))
+
+    n_hot = int((pdf["term"] == "hot").sum())
+    assert "hot" in requested
+    # non-candidate hot blocks are never requested from storage
+    assert len(requested["hot"]) < 0.6 * n_hot, (len(requested["hot"]), n_hot)
+    assert Q.DECODE_STATS["pos_blocks_fetched"] == sum(
+        len(v) for v in requested.values())
+
+
 def test_phrase_position_overflow_fails_loudly():
     """In-doc positions beyond the 32-bit key field must raise, not silently
     drop matches (the round-3 21-bit packing lost hits past ~2.09M tokens)."""
