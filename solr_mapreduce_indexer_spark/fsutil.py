@@ -45,12 +45,22 @@ def local_path(path: str) -> str:
     return path
 
 
+
+def _session():
+    """Process-wide SparkSession (thread-safe: getActiveSession is
+    thread-local and None in driver worker threads)."""
+    from pyspark.sql import SparkSession
+    return (SparkSession.getActiveSession()
+            or getattr(SparkSession, "_instantiatedSession", None))
+
 def _hadoop_fs(path: str):
     """(FileSystem, Path-class, conf) for a scheme'd path, from the active
     SparkSession's JVM. Maintenance verbs on remote URIs require a session —
-    exactly the deployments where one exists."""
-    from pyspark.sql import SparkSession
-    spark = SparkSession.getActiveSession()
+    exactly the deployments where one exists. getActiveSession() is
+    THREAD-LOCAL, so phases submitted from driver worker threads (e.g. the
+    concurrent term-stats job) fall back to the process-wide instantiated
+    session."""
+    spark = _session()
     if spark is None:
         raise RuntimeError(
             f"path {path!r} has a URI scheme but no active SparkSession to "
@@ -134,8 +144,7 @@ def read_text(path: str) -> str:
     if not has_scheme(path):
         with open(path) as f:
             return f.read()
-    from pyspark.sql import SparkSession
-    jvm = SparkSession.getActiveSession()._jvm
+    jvm = _session()._jvm
     fs, P, _ = _hadoop_fs(path)
     stream = fs.open(P(path))
     try:
@@ -169,8 +178,7 @@ def write_text_atomic(path: str, data: str) -> None:
     finally:
         stream.close()
     try:
-        from pyspark.sql import SparkSession
-        spark = SparkSession.getActiveSession()
+        spark = _session()
         gw = spark.sparkContext._gateway
         jvm = gw.jvm
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
@@ -223,8 +231,7 @@ def copy_dir(src: str, dst: str) -> None:
     _, P, conf = _hadoop_fs(src_uri)
     fs_src = P(src_uri).getFileSystem(conf)
     fs_dst = P(dst_uri).getFileSystem(conf)
-    from pyspark.sql import SparkSession
-    jvm = SparkSession.getActiveSession()._jvm
+    jvm = _session()._jvm
     ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
         fs_src, P(src_uri), fs_dst, P(dst_uri), False, False, conf)
     if not ok:

@@ -210,6 +210,15 @@ def _index_shard_mapper(cfg: IndexConfig, avgdl: float):
                          "pattern)")
 
     def finish(shard: int, doc_ids: np.ndarray, texts) -> pd.DataFrame:
+        # input-contract guard (cheap, vectorized): each micro-shard's rows
+        # must arrive in strictly increasing doc_id order — build_postings'
+        # pre_partitioned path relies on the upstream window's sort instead
+        # of re-sorting, so a violated contract must fail loudly here, not
+        # silently emit mis-ordered posting blocks
+        if len(doc_ids) > 1 and not bool(np.all(np.diff(doc_ids) > 0)):
+            raise ValueError(
+                f"micro-shard {shard}: doc_ids not strictly increasing — "
+                "build_postings input must be sorted by (shard_id, doc_id)")
         if fast:
             return build_shard_fast(shard, doc_ids, texts, cfg, avgdl,
                                     POSTINGS_COLS)
@@ -261,13 +270,21 @@ def build_postings(docs: DataFrame, cfg: IndexConfig, avgdl: float,
     Arrow, and build each shard's index in a single fused kernel (tokenize →
     tf → posting lists → blocks; see _index_shard_mapper).
 
-    pre_partitioned=True skips the shuffle: the caller guarantees docs are
-    already hash-clustered by shard_id (prepare_docs output is — its doc-id
-    window established exactly that clustering, so repartitioning again here
-    re-shuffled every text byte for an identical distribution)."""
-    src = docs if pre_partitioned else docs.repartition(partitions, "shard_id")
-    src = (src.select("shard_id", "doc_id", "text")
-              .sortWithinPartitions("shard_id", "doc_id"))
+    pre_partitioned=True skips BOTH the shuffle and the sort: the caller
+    guarantees docs are prepare_docs output — hash-clustered by shard_id
+    (its doc-id window established exactly that clustering, so
+    repartitioning again re-shuffled every text byte for an identical
+    distribution) AND already ordered (shard_id, conv_id, turn_idx) within
+    partitions by the same window's sort, which is doc_id order by
+    construction. SortExec can't prove the derived doc_id preserves that
+    ordering, so the explicit sort here re-sorted already-sorted data — one
+    wasted full in-memory pass per build at scale. The kernel guards the
+    contract: a non-monotonic doc_id run fails loudly (see
+    _index_shard_mapper) rather than silently mis-building postings."""
+    src = docs.select("shard_id", "doc_id", "text")
+    if not pre_partitioned:
+        src = (src.repartition(partitions, "shard_id")
+                  .sortWithinPartitions("shard_id", "doc_id"))
     return src.mapInPandas(_index_shard_mapper(cfg, avgdl),
                            schema=POSTINGS_SCHEMA)
 
@@ -427,22 +444,36 @@ def build_index(spark: SparkSession, df: DataFrame, cfg: IndexConfig,
     if docs is not None:
         docs.unpersist()
 
-    # --- phase: term stats (global df/cf for BM25 idf) ----------------------
-    # Derived from level-0 block METADATA (term, n, sum_tf): parquet column
-    # pruning means this never touches posting payload bytes — much cheaper
-    # than re-exploding tokens for a second full shuffle.
-    if not (resume and mf.read_checkpoint(index_dir, "term_stats")):
-        t0 = time.time()
-        n_terms = write_term_stats(spark, level0_path, term_stats_path)
-        mf.write_checkpoint(index_dir, "term_stats",
-                            {"path": term_stats_path, "n_terms": n_terms,
-                             "wall_s": round(time.time() - t0, 2)})
-    stats["n_terms"] = mf.read_checkpoint(index_dir, "term_stats")["n_terms"]
+    # --- phases: term stats ∥ tree merge ------------------------------------
+    # Both depend ONLY on level 0 and not on each other, so they run as
+    # concurrent driver-submitted jobs (guide §2.6: actions are sequential
+    # only because driver code calls them sequentially): the metadata-only
+    # term-stats aggregation back-fills executors left idle by the merge
+    # stages' tails instead of adding its own serial barrier. Job
+    # descriptions are thread-local, so UI labels stay correct; each phase
+    # keeps its own checkpoint commit.
+    def _term_stats_phase() -> int:
+        # Derived from level-0 block METADATA (term, n, sum_tf): parquet
+        # column pruning means this never touches posting payload bytes —
+        # much cheaper than re-exploding tokens for a second full shuffle.
+        if not (resume and mf.read_checkpoint(index_dir, "term_stats")):
+            t0 = time.time()
+            n_terms = write_term_stats(spark, level0_path, term_stats_path)
+            mf.write_checkpoint(index_dir, "term_stats",
+                                {"path": term_stats_path, "n_terms": n_terms,
+                                 "wall_s": round(time.time() - t0, 2)})
+        return mf.read_checkpoint(index_dir, "term_stats")["n_terms"]
 
-    # --- phase: tree merge to target shard count ----------------------------
     levels = [mf.read_checkpoint(index_dir, "level_0")
               | {"level": 0, "fanout": fanout}]
-    levels += merge_to_target(spark, index_dir, cfg, partitions, fanout,
-                              n_iters, resume=resume)
+    if n_iters > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ts_future = pool.submit(_term_stats_phase)
+            levels += merge_to_target(spark, index_dir, cfg, partitions,
+                                      fanout, n_iters, resume=resume)
+            stats["n_terms"] = ts_future.result()
+    else:
+        stats["n_terms"] = _term_stats_phase()
 
     return mf.write_manifest(index_dir, cfg, stats, levels, input_path)
