@@ -93,6 +93,63 @@ print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n,
 """
 
 
+_CHILD_L0 = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from solr_mapreduce_indexer_spark.session import get_spark
+from solr_mapreduce_indexer_spark.config import IndexConfig
+
+cpus = {cpus}
+master = {master!r}
+os.makedirs("/dev/shm/smis_localdir", exist_ok=True)
+os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/smis_localdir"
+spark = get_spark(app=f"scaling_l0_{{cpus}}", master=master,
+                  shuffle_partitions=64, driver_memory="16g",
+                  executor_memory="8g")
+from solr_mapreduce_indexer_spark.index.build import build_postings
+from solr_mapreduce_indexer_spark.session import ensure_shipped
+ensure_shipped(spark)  # kernel UDFs unpickle worker-side from the zip
+
+with open({prep_stats!r}) as fh:
+    stats = json.load(fh)
+avgdl = stats["avgdl"]
+cfg = IndexConfig(shards={shards}, reducers={reducers}, fanout={fanout})
+prepared = spark.read.parquet({prepared!r})
+n = prepared.count()
+out_base = {idx!r}
+
+def level0_once(out_path):
+    # exactly the build_index level-0 phase: shuffle by micro-shard, sort,
+    # fused kernel, snappy partitioned write (build.py level_0 block)
+    postings = build_postings(prepared, cfg, avgdl, {reducers})
+    (postings.write.mode("overwrite").option("compression", "snappy")
+             .partitionBy("shard_id").parquet(out_path))
+
+# warm-up on a 1/10 subset: JIT + python worker pool + allocator state
+import pyspark.sql.functions as F
+import shutil
+warm_src = prepared.where(F.abs(F.xxhash64("conv_id")) % 10 == 0)
+warm_postings = build_postings(warm_src, cfg, avgdl, {reducers})
+(warm_postings.write.mode("overwrite").option("compression", "snappy")
+              .partitionBy("shard_id").parquet(out_base + "_warm"))
+
+rep_walls = []
+for rep in range({reps}):
+    out = out_base + f"_r{{rep}}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    level0_once(out)
+    rep_walls.append(round(time.time() - t0, 2))
+    shutil.rmtree(out, ignore_errors=True)
+build_s = min(rep_walls)
+print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n,
+    "build_s": build_s, "turns_per_sec": round(n / build_s, 1),
+    "query_s": None, "bm25_qps": None,
+    "rep_walls": rep_walls,
+    "phases": {{"level_0_only": build_s}}}}))
+"""
+
+
 def _ceiling_work(_):
     import numpy as np
     rng = np.random.default_rng(0)
@@ -177,12 +234,21 @@ def kill_stale_bench_groups() -> None:
 def run_level(cpus: int, src: str, work: str, shards: int = 8,
               reducers: int = 64, fanout: int = 8,
               master: str | None = None, reps: int = 2,
-              timeout: int = 3600) -> dict:
+              timeout: int = 3600, phase: str = "full") -> dict:
     idx = os.path.join(work, f"idx_{cpus}")
     shutil.rmtree(idx, ignore_errors=True)
-    code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx,
-                         shards=shards, reducers=reducers, fanout=fanout,
-                         master=master or f"local[{cpus}]", reps=reps)
+    if phase == "level0":
+        code = _CHILD_L0.format(repo=REPO, cpus=cpus, idx=idx,
+                                prepared=os.path.join(work, "prepared"),
+                                prep_stats=os.path.join(work,
+                                                        "prep_stats.json"),
+                                shards=shards, reducers=reducers,
+                                fanout=fanout,
+                                master=master or f"local[{cpus}]", reps=reps)
+    else:
+        code = _CHILD.format(repo=REPO, cpus=cpus, src=src, idx=idx,
+                             shards=shards, reducers=reducers, fanout=fanout,
+                             master=master or f"local[{cpus}]", reps=reps)
     # start_new_session=True ⇒ the child (and every executor/daemon it
     # spawns) lives in its own process group, killable as a unit
     proc = subprocess.Popen([sys.executable, "-c", code],
@@ -237,6 +303,15 @@ def main() -> None:
                     help="per-level wall-clock budget in seconds (raise for "
                          ">=16M-turn runs; on expiry the whole level process "
                          "GROUP is killed, leaving no orphans)")
+    ap.add_argument("--phase", choices=["full", "level0"], default="full",
+                    help="level0: replay ONLY the level-0 posting build "
+                         "(shuffle + fused kernel + write — the pure-engine "
+                         "phase, ~87%% of a 16M build wall) against a "
+                         "prepared-docs artifact built ONCE and shared by "
+                         "both levels. A full reps=2 16M pair needs ~2h of "
+                         "stable box; the level-0 pair fits the short "
+                         "windows this host actually offers (round-5 "
+                         "postmortems: 4 attempts, zero 2h-stable windows)")
     args = ap.parse_args()
 
     # Orphan guard, scoped to THIS tool's recorded process groups (a blanket
@@ -268,6 +343,35 @@ def main() -> None:
             del pdf
         spark.stop()
 
+    if args.phase == "level0":
+        # Shared-artifact prep (once, at full local parallelism — untimed):
+        # prepare_docs output + corpus stats, the exact inputs the in-build
+        # level-0 phase consumes. Both levels then measure ONLY
+        # shuffle + fused kernel + partitioned write on identical input.
+        from pyspark.sql import functions as F
+
+        from solr_mapreduce_indexer_spark.config import IndexConfig
+        from solr_mapreduce_indexer_spark.functions.analysis import \
+            tokenize_col
+        from solr_mapreduce_indexer_spark.index.build import prepare_docs
+        spark = get_spark(app="scaling_prep", master="local[32]",
+                          shuffle_partitions=64, driver_memory="16g")
+        cfg = IndexConfig(shards=args.shards, reducers=args.reducers,
+                          fanout=args.fanout)
+        tr = spark.read.parquet(src)
+        prepared_path = os.path.join(work, "prepared")
+        (prepare_docs(tr, cfg, args.reducers)
+         .write.mode("overwrite").parquet(prepared_path))
+        agg = (spark.read.parquet(prepared_path)
+               .agg(F.avg(F.size(tokenize_col("text", cfg))).alias("avgdl"),
+                    F.count(F.lit(1)).alias("n")).collect()[0])
+        with open(os.path.join(work, "prep_stats.json"), "w") as f:
+            json.dump({"avgdl": float(agg["avgdl"]),
+                       "n_docs": int(agg["n"])}, f)
+        print(f"PREP done: {agg['n']} docs, avgdl {agg['avgdl']:.2f}",
+              flush=True)
+        spark.stop()
+
     lo, hi = sorted(args.levels)
     lo_c, hi_c = ((lo * args.exec_cores, hi * args.exec_cores)
                   if args.mode == "executors" else (lo, hi))
@@ -290,29 +394,35 @@ def main() -> None:
         c = args.exec_cores
         r_lo = run_level(lo * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{lo},{c},8192]",
-                         reps=args.reps, timeout=args.level_timeout)
+                         reps=args.reps, timeout=args.level_timeout,
+                         phase=args.phase)
         probe(f"after_level_{lo}")
         r_hi = run_level(hi * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{hi},{c},8192]",
-                         reps=args.reps, timeout=args.level_timeout)
+                         reps=args.reps, timeout=args.level_timeout,
+                         phase=args.phase)
         probe(f"after_level_{hi}")
     else:
         r_lo = run_level(lo, src, work, args.shards, args.reducers,
                          args.fanout, reps=args.reps,
-                         timeout=args.level_timeout)
+                         timeout=args.level_timeout, phase=args.phase)
         probe(f"after_level_{lo}")
         r_hi = run_level(hi, src, work, args.shards, args.reducers,
                          args.fanout, reps=args.reps,
-                         timeout=args.level_timeout)
+                         timeout=args.level_timeout, phase=args.phase)
         probe(f"after_level_{hi}")
     ratio = hi / lo
     eff_build = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / ratio
-    eff_query = (r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
+    eff_query = ((r_hi["bm25_qps"] / r_lo["bm25_qps"]) / ratio
+                 if r_lo.get("bm25_qps") else None)
     ceil = ceiling["cpu_scaling_efficiency"]
     label = (f"local-cluster {lo} vs {hi} executors x {args.exec_cores} cores"
              if args.mode == "executors" else f"local[{lo}] vs local[{hi}]")
     result = {
-        "metric": f"scaling efficiency N->4N ({label}, same input)",
+        "metric": f"scaling efficiency N->4N ({label}, same input"
+                  + (", level-0 posting build only" if args.phase == "level0"
+                     else "") + ")",
+        "phase": args.phase,
         "n_turns": r_lo["n_turns"],
         "levels": {str(lo): r_lo, str(hi): r_hi},
         "hardware_cpu_ceiling": ceiling,
@@ -327,9 +437,16 @@ def main() -> None:
             if r_hi.get("phases", {}).get(p, 0.0)
             > r_lo["phases"][p] * 1.05),
         "build_scaling_efficiency": round(eff_build, 3),
-        "query_scaling_efficiency": round(eff_query, 3),
+        "query_scaling_efficiency": (round(eff_query, 3)
+                                     if eff_query is not None else None),
         "build_efficiency_vs_cpu_ceiling": round(eff_build / ceil, 3),
-        "query_efficiency_vs_cpu_ceiling": round(eff_query / ceil, 3),
+        "query_efficiency_vs_cpu_ceiling": (round(eff_query / ceil, 3)
+                                            if eff_query is not None
+                                            else None),
+        # within-level rep spread (level0 mode): a >1.5x swing between reps
+        # of the SAME level is its own instability tell
+        "rep_walls": {str(lo): r_lo.get("rep_walls"),
+                      str(hi): r_hi.get("rep_walls")},
     }
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
