@@ -318,6 +318,11 @@ def main() -> None:
     ap.add_argument("--exec-cores", type=int, default=4)
     ap.add_argument("--reps", type=int, default=2,
                     help="measured build repetitions per level (min taken)")
+    ap.add_argument("--reps-hi", type=int, default=None,
+                    help="override reps for the HIGH level: its per-rep "
+                         "walls are ~4x shorter, so equal reps give it ~4x "
+                         "less chance to reach (and sample) steady state "
+                         "under this box's phase-scale noise")
     ap.add_argument("--src", default=None,
                     help="reuse an existing synthesized corpus dir "
                          "(skips synthesis; --turns is ignored for sizing)")
@@ -418,7 +423,14 @@ def main() -> None:
     probes: dict[str, float] = {}
 
     def probe(tag: str) -> dict:
-        cl = cpu_ceiling(lo_c, hi_c)
+        # settle first: a probe fired right after a level exits (4 JVMs
+        # dying, GBs of output rmtree'd) lands in the page-flush shadow and
+        # systematically under-reads the LOW-process side, spuriously
+        # inflating or crashing the ratio (observed 1.527, 2.167, 0.479);
+        # 45s + min-of-3 elapsed per side rides it out
+        import time as _t
+        _t.sleep(45)
+        cl = cpu_ceiling(lo_c, hi_c, reps=3)
         probes[tag] = cl["cpu_scaling_efficiency"]
         print("CEILING " + json.dumps(cl | {"at": tag}), flush=True)
         return cl
@@ -438,8 +450,8 @@ def main() -> None:
         probe(f"after_level_{lo}")
         r_hi = run_level(hi * c, src, work, args.shards, args.reducers,
                          args.fanout, master=f"local-cluster[{hi},{c},8192]",
-                         reps=args.reps, timeout=args.level_timeout,
-                         phase=args.phase)
+                         reps=args.reps_hi or args.reps,
+                         timeout=args.level_timeout, phase=args.phase)
         probe(f"after_level_{hi}")
     else:
         r_lo = run_level(lo, src, work, args.shards, args.reducers,
@@ -447,7 +459,7 @@ def main() -> None:
                          timeout=args.level_timeout, phase=args.phase)
         probe(f"after_level_{lo}")
         r_hi = run_level(hi, src, work, args.shards, args.reducers,
-                         args.fanout, reps=args.reps,
+                         args.fanout, reps=args.reps_hi or args.reps,
                          timeout=args.level_timeout, phase=args.phase)
         probe(f"after_level_{hi}")
     ratio = hi / lo
