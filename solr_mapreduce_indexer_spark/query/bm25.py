@@ -576,6 +576,14 @@ def run_queries(spark: SparkSession, h: IndexHandle,
     from ..session import ensure_shipped
     ensure_shipped(spark)
     cfg = h.cfg
+    if not cfg.positions and any(q.get("mode") == "PHRASE" for q in queries):
+        # fail fast on the driver: without this, the kernel's lazy position
+        # decode only raises when a phrase has doc-level candidates (a
+        # zero-candidate phrase would return 0 rows with no signal), and the
+        # executor-side ValueError reaches the caller wrapped in a
+        # PythonException after a doomed batch has already run.
+        raise ValueError("PHRASE queries require an index built with "
+                         "positions=True (IndexConfig.positions)")
     all_terms = sorted({t.lower() for q in queries for t in q["terms"]})
     dfs = _lookup_dfs(spark, h, all_terms)
     idfs = {t: idf(h.n_docs, dfs.get(t, 0)) for t in all_terms}

@@ -142,9 +142,15 @@ def test_phrase_survives_compact(pidx, spark):
 def test_phrase_requires_positions(spark, tmp_path):
     idx = str(tmp_path / "nopos")
     build_index(spark, _corpus(spark), IndexConfig(shards=1), idx)
-    with pytest.raises(Exception, match="positions"):
-        bm25_topk(spark, load_index(idx), ["quick", "brown"],
-                  mode="PHRASE").collect()
+    h = load_index(idx)
+    # eager driver-side ValueError at plan time, not a wrapped executor
+    # error after a doomed batch (and not 0 silent rows when the phrase
+    # happens to have no doc-level candidates — the lazy kernel check
+    # never fires for those)
+    with pytest.raises(ValueError, match="positions"):
+        bm25_topk(spark, h, ["quick", "brown"], mode="PHRASE")
+    with pytest.raises(ValueError, match="positions"):
+        bm25_topk(spark, h, ["zzabsent", "alsoabsent"], mode="PHRASE")
 
 
 def test_validate_checks_positions(pidx, spark):
